@@ -1,0 +1,133 @@
+"""Threaded, prefetching host data loader.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` wrapper
+(/root/reference/src/dataset.py:17-24, used with ``num_workers``/
+``pin_memory`` at /root/reference/src/train.py:101-109) with a
+dependency-free thread-pool loader tuned for feeding a TPU:
+
+- per-epoch shuffling from an explicit seed (deterministic resume),
+- multi-host sharding: each host decodes only its slice of the global batch
+  (keyed by ``process_index``/``process_count``),
+- background prefetch queue so JPEG/PNG decode (the reference's host-side
+  hot loop #3, SURVEY.md §3.1) overlaps device compute,
+- yields numpy dict batches ``{"color": (B, T, H, W, 3), <geo>: ...}`` —
+  device placement/sharding happens in ``dcvgan_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from dcvgan_tpu.data.dataset import VideoDataset
+
+
+class VideoLoader:
+    """Iterable over epoch batches of a :class:`VideoDataset`.
+
+    One pass over the loader is one epoch (reshuffled each epoch);
+    ``drop_last`` semantics match the reference's DataLoader config.
+    """
+
+    def __init__(
+        self,
+        dataset: VideoDataset,
+        batchsize: int,
+        n_workers: int = 4,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        if batchsize % process_count != 0:
+            raise ValueError(
+                f"global batchsize {batchsize} not divisible by "
+                f"process_count {process_count}"
+            )
+        self.dataset = dataset
+        self.batchsize = batchsize
+        self.local_batchsize = batchsize // process_count
+        self.n_workers = max(1, n_workers)
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batchsize
+        return (n + self.batchsize - 1) // self.batchsize
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def _load_batch(self, indices: np.ndarray, epoch: int, b: int) -> Dict[str, np.ndarray]:
+        # Per-sample RNG derived from (seed, epoch, batch, position): the
+        # temporal crop is deterministic given the loader config, unlike the
+        # reference's global-RNG worker state.
+        def load_one(pos_and_i):
+            pos, i = pos_and_i
+            rng = np.random.default_rng((self.seed, epoch, b, int(pos)))
+            return self.dataset.sample(int(i), rng)
+
+        with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
+            samples = list(pool.map(load_one, enumerate(indices)))
+        return {
+            k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
+        }
+
+    def epoch_iterator(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield this host's batches for one epoch, with prefetching."""
+        if epoch is None:
+            epoch = self.epoch
+            self.epoch += 1
+        order = self._epoch_indices(epoch)
+        n_batches = len(self)
+        lo = self.process_index * self.local_batchsize
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    global_idx = order[b * self.batchsize : (b + 1) * self.batchsize]
+                    local_idx = global_idx[lo : lo + self.local_batchsize]
+                    q.put(self._load_batch(local_idx, epoch, b))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.epoch_iterator()

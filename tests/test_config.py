@@ -1,0 +1,109 @@
+"""Config schema: loading, legacy migration, validation.
+
+Mirrors + extends the reference's (untested!) config handling; the strict
+validation here would have caught the gdis/schema drift of SURVEY.md §2.3.
+"""
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from dcvgan_tpu.config import (
+    ConfigError,
+    ExperimentConfig,
+    flatten_config,
+    load_config,
+    migrate_legacy_schema,
+    save_config,
+)
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def test_all_shipped_configs_load_and_validate():
+    paths = sorted(CONFIG_DIR.glob("*.yml"))
+    assert len(paths) >= 13  # 12 migrated reference configs + mock
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.config_path == str(p)
+        assert cfg.video_length == 16
+        assert cfg.image_size == 64
+
+
+def test_legacy_gen_block_split():
+    raw = {
+        "experiment_name": "x",
+        "batchsize": 2,
+        "n_epochs": 1,
+        "seed": 0,
+        "gen": {
+            "dim_z_content": 33,
+            "dim_z_motion": 7,
+            "dim_z_color": 5,
+            "ngf": 16,
+            "optimizer": {"lr": 1e-3, "decay": 0.0},
+        },
+        "geometric_info": "depth",
+    }
+    cfg = ExperimentConfig.from_dict(raw)
+    assert cfg.ggen.dim_z_content == 33
+    assert cfg.ggen.dim_z_motion == 7
+    assert cfg.ggen.ngf == 16
+    assert cfg.cgen.dim_z_color == 5
+    assert cfg.ggen.optimizer.lr == 1e-3
+    assert cfg.geometric_info.name == "depth"
+    assert cfg.geometric_info.channel == 1
+
+
+def test_string_geometric_info_migration():
+    for name, ch in [("depth", 1), ("optical-flow", 2), ("segmentation", 25)]:
+        raw = migrate_legacy_schema({"geometric_info": name})
+        assert raw["geometric_info"] == {"name": name, "channel": ch}
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(ConfigError, match="unknown config key"):
+        ExperimentConfig.from_dict({"not_a_key": 1})
+
+
+def test_bad_channel_rejected():
+    with pytest.raises(ConfigError, match="channel"):
+        ExperimentConfig.from_dict(
+            {"geometric_info": {"name": "depth", "channel": 3}}
+        ).validate()
+
+
+def test_bad_loss_rejected():
+    cfg = ExperimentConfig.from_dict({"loss": "wasserstein"})
+    with pytest.raises(ConfigError, match="loss"):
+        cfg.validate()
+
+
+def test_roundtrip(tmp_path):
+    cfg = load_config(CONFIG_DIR / "isogd-depth.yml")
+    out = tmp_path / "copy.yml"
+    save_config(cfg, out)
+    cfg2 = load_config(out)
+    d1, d2 = cfg.to_dict(), cfg2.to_dict()
+    d1.pop("config_path"), d2.pop("config_path")
+    assert d1 == d2
+
+
+def test_flatten_for_hparams():
+    cfg = load_config(CONFIG_DIR / "mug-depth.yml")
+    flat = flatten_config(cfg)
+    assert flat["ggen/optimizer/lr"] == "0.0002"
+    assert flat["geometric_info/name"] == "depth"
+    assert all(isinstance(v, str) for v in flat.values())
+
+
+def test_isogd_depth_matches_reference_values():
+    # Spot-check migrated values against /root/reference/config/isogd-depth.yml
+    cfg = load_config(CONFIG_DIR / "isogd-depth.yml")
+    assert cfg.batchsize == 70
+    assert cfg.seed == 15
+    assert cfg.idis.optimizer.lr == pytest.approx(5e-4)
+    assert cfg.gdis.ndf == 32
+    assert cfg.evaluation.num_samples == 3000
+    assert cfg.num_gen_update == 1 and cfg.num_dis_update == 1

@@ -1,0 +1,191 @@
+"""Dataset + loader tests against the mock fixture.
+
+Port of the reference's pixel-exact decode oracle
+(/root/reference/src/test/test_dataset.py) to channels-last layout, plus
+loader determinism/sharding tests the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+from dcvgan_tpu.data.dataset import VideoDataset
+from dcvgan_tpu.data.loader import VideoLoader
+from dcvgan_tpu.data.mock import COLOR_CYCLE, DEPTH_CYCLE
+
+SIZE = 64
+LENGTH = 16
+
+
+def new_mock_dataset(mock_data_root, geometric_info="depth"):
+    return VideoDataset(
+        name="mock",
+        dataset_path=None,
+        preprocess_func=None,
+        video_length=LENGTH,
+        image_size=SIZE,
+        geometric_info=geometric_info,
+        extension="png",
+        processed_root=mock_data_root.parent.parent,
+    )
+
+
+def test_batch_depth(mock_data_root):
+    ds = new_mock_dataset(mock_data_root, "depth")
+    assert len(ds) == 3
+    assert list(ds[0].keys()) == ["color", "depth"]
+    for i in range(len(ds)):
+        batch = ds[i]
+        color, depth = batch["color"], batch["depth"]
+        assert color.shape == (LENGTH, SIZE, SIZE, 3)
+        assert color.dtype == np.float32
+        assert np.all(color >= -1.0) and np.all(color <= 1.0)
+        assert depth.shape == (LENGTH, SIZE, SIZE, 1)
+        assert np.all(depth >= -1.0) and np.all(depth <= 1.0)
+
+
+def test_batch_optical_flow(mock_data_root):
+    ds = new_mock_dataset(mock_data_root, "optical-flow")
+    for i in range(len(ds)):
+        batch = ds[i]
+        assert list(batch.keys()) == ["color", "optical-flow"]
+        flow = batch["optical-flow"]
+        assert flow.shape == (LENGTH, SIZE, SIZE, 2)
+        assert np.all(flow >= -1.0) and np.all(flow <= 1.0)
+
+
+def test_batch_segmentation(mock_data_root):
+    ds = new_mock_dataset(mock_data_root, "segmentation")
+    for i in range(len(ds)):
+        segm = ds[i]["segmentation"]
+        assert segm.shape == (LENGTH, SIZE, SIZE, 25)
+        # exact one-hot
+        assert np.all(segm.sum(-1) == 1.0)
+        assert set(np.unique(segm)) == {0.0, 1.0}
+
+
+def test_color_video_pixel_exact(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    for i in range(len(ds)):
+        color = ds.sample(i, np.random.default_rng(0))["color"]
+        restored = ((color + 1) / 2 * 255).astype(np.uint8)
+        # crop always starts at t=0 for the 17-frame fixture
+        for j, frame in enumerate(restored):
+            assert np.all(frame == COLOR_CYCLE[(i + j) % 3]), (i, j)
+
+
+def test_depth_video_pixel_exact(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    for i in range(len(ds)):
+        depth = ds.sample(i, np.random.default_rng(0))["depth"]
+        restored = ((depth + 1) / 2 * 255).astype(np.uint8)
+        for j, frame in enumerate(restored):
+            assert np.all(frame == DEPTH_CYCLE[(i + j) % 3]), (i, j)
+
+
+def test_surreal_depth_normalization(tmp_path):
+    # Build a minimal surreal-style tree: depth.npy with background + a
+    # linear human-depth ramp; check the [-1, 0.8] + bg=1.0 normalization
+    # (reference: /root/reference/src/dataset.py:134-155).
+    root = tmp_path / "surreal" / "train"
+    vdir = root / "1"
+    (vdir / "color").mkdir(parents=True)
+    from dcvgan_tpu.io.image import write_img
+
+    for j in range(17):
+        write_img(np.zeros((8, 8, 3), np.uint8), vdir / "color" / f"{j:03d}.jpg")
+    depth = np.full((17, 8, 8), 1e10, np.float64)
+    depth[:, 2:6, 2:6] = np.linspace(2.0, 4.0, 16).reshape(4, 4)
+    np.save(vdir / "depth.npy", depth)
+    (root / "list.txt").write_text("1 17\n")
+
+    ds = VideoDataset(
+        name="surreal",
+        preprocess_func=None,
+        video_length=16,
+        image_size=8,
+        geometric_info="depth",
+        processed_root=tmp_path,
+    )
+    d = ds.sample(0, np.random.default_rng(0))["depth"]
+    assert d.shape == (16, 8, 8, 1)
+    assert np.all(d[:, 0, 0] == 1.0)  # background
+    human = d[:, 2:6, 2:6]
+    assert human.min() == pytest.approx(-1.0)
+    assert human.max() == pytest.approx(0.8)
+
+
+def test_too_short_video_raises(tmp_path):
+    root = tmp_path / "short" / "train"
+    (root / "1" / "color").mkdir(parents=True)
+    (root / "list.txt").write_text("1 16\n")
+    ds = VideoDataset(
+        name="short", preprocess_func=None, video_length=16,
+        processed_root=tmp_path, extension="png",
+    )
+    with pytest.raises(ValueError, match="insufficient"):
+        ds.sample(0, np.random.default_rng(0))
+
+
+def test_loader_shapes_and_determinism(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    loader = VideoLoader(ds, batchsize=2, n_workers=2, seed=7)
+    batches1 = list(loader.epoch_iterator(epoch=0))
+    batches2 = list(loader.epoch_iterator(epoch=0))
+    assert len(batches1) == 1  # 3 videos, batch 2, drop_last
+    assert batches1[0]["color"].shape == (2, LENGTH, SIZE, SIZE, 3)
+    assert batches1[0]["depth"].shape == (2, LENGTH, SIZE, SIZE, 1)
+    for k in batches1[0]:
+        np.testing.assert_array_equal(batches1[0][k], batches2[0][k])
+    # different epoch -> different shuffle (probabilistically; 3 items)
+    b_e1 = list(loader.epoch_iterator(epoch=1))
+    assert len(b_e1) == 1
+
+
+def test_loader_multihost_sharding(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    full = VideoLoader(ds, batchsize=2, seed=3)
+    h0 = VideoLoader(ds, batchsize=2, seed=3, process_index=0, process_count=2)
+    h1 = VideoLoader(ds, batchsize=2, seed=3, process_index=1, process_count=2)
+    fb = next(iter(full.epoch_iterator(epoch=0)))
+    b0 = next(iter(h0.epoch_iterator(epoch=0)))
+    b1 = next(iter(h1.epoch_iterator(epoch=0)))
+    assert b0["color"].shape[0] == 1 and b1["color"].shape[0] == 1
+    np.testing.assert_array_equal(
+        np.concatenate([b0["color"], b1["color"]]), fb["color"]
+    )
+
+
+def test_mp4_roundtrip(tmp_path):
+    # mp4 codecs are lossy; the reference tolerated atol=2 with ffmpeg
+    # (/root/reference/src/test/test_dataio.py:40-48). OpenCV's mp4v
+    # YUV conversion drifts up to ~5 on solid frames.
+    from dcvgan_tpu.io.video import read_video, write_video
+
+    video = np.stack(
+        [np.full((64, 64, 3), v, np.uint8) for v in (10, 120, 230)] * 4
+    )
+    p = tmp_path / "v.mp4"
+    write_video(video, p)
+    back = read_video(p)
+    assert back.shape == video.shape
+    assert np.allclose(back.astype(int), video.astype(int), atol=5)
+
+
+def test_img_roundtrip_exact(tmp_path):
+    from dcvgan_tpu.io.image import read_img, write_img
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    write_img(img, p)
+    np.testing.assert_array_equal(read_img(p), img)
+
+
+def test_resize_modes():
+    from dcvgan_tpu.io.image import resize_img, resize_video
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    for mode in ("nearest", "linear", "area", "cubic", "lanczos4"):
+        assert resize_img(img, (16, 16), mode).shape == (16, 16, 3)
+    vid = np.zeros((4, 32, 32, 1), np.uint8)
+    assert resize_video(vid, (16, 16), "nearest").shape == (4, 16, 16, 1)
