@@ -1,0 +1,163 @@
+"""Shared layers and initializers.
+
+Weight-init parity with the reference (/root/reference/src/util.py:186-195):
+2D convs / transposed convs get N(0, 0.02); BatchNorm used after 2D convs
+gets scale ~ N(1, 0.02), bias 0. The reference's ``init_weights`` matches on
+``nn.Conv2d``/``nn.BatchNorm2d`` only, so **3D convs and BatchNorm3d keep
+torch defaults** (kaiming-uniform(a=√5) == U(±1/√fan_in); BN scale=1) — we
+reproduce that documented delta exactly rather than "fixing" it, since GAN
+init distributions are part of the observable training dynamics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# N(0, 0.02): reference init for Conv2d/ConvTranspose2d.
+conv2d_kernel_init = nn.initializers.normal(stddev=0.02)
+
+
+def bn2d_scale_init(key, shape, dtype=jnp.float32):
+    """BatchNorm2d scale ~ N(1, 0.02) (reference init_weights)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+# torch-default conv init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +).
+# variance_scaling(1/3, fan_in, uniform): bound = sqrt(3 * (1/3) / fan_in).
+conv_torch_default_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def uniform_symmetric_init(bound: float) -> Callable:
+    """U(-bound, bound) — torch's GRUCell default with bound=1/sqrt(hidden)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Noise(nn.Module):
+    """Additive-Gaussian-noise GAN stabilizer.
+
+    Reference: ``Noise`` (/root/reference/src/discriminator.py:11-39) — adds
+    ``sigma * N(0, 1)`` whenever ``use_noise`` is set (a static module flag;
+    the reference applies it in train *and* eval). Draws from the "noise"
+    PRNG stream.
+    """
+
+    use_noise: bool
+    sigma: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if not self.use_noise:
+            return x
+        noise = jax.random.normal(self.make_rng("noise"), x.shape, self.dtype)
+        return x + jnp.asarray(self.sigma, self.dtype) * noise
+
+
+def batch_norm(
+    train: bool,
+    dtype: Dtype,
+    name: str,
+    torch_default_init: bool = False,
+    axis_name: Optional[str] = None,
+) -> nn.BatchNorm:
+    """BatchNorm matching torch semantics: momentum 0.9 (torch 0.1 "decay"),
+    eps 1e-5. ``axis_name`` enables cross-replica (sync) statistics inside
+    shard_map; under plain jit with a batch sharded over the mesh, XLA's
+    collectives already produce global-batch statistics."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        scale_init=(
+            nn.initializers.ones if torch_default_init else bn2d_scale_init
+        ),
+        bias_init=nn.initializers.zeros,
+        axis_name=axis_name,
+        name=name,
+    )
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def same_pad_conv(
+    features: int,
+    kernel: int,
+    stride: int,
+    dtype: Dtype,
+    name: str,
+    ndim: int = 2,
+    torch_default_init: bool = False,
+    time_stride: Optional[int] = None,
+) -> nn.Conv:
+    """Conv with torch's (k=4, s=2, p=1)-style padding.
+
+    2D: kernel 4, stride 2, pad (1, 1) halves H/W exactly.
+    3D: kernel 4, strides (time_stride, 2, 2), padding ((0,0),(1,1),(1,1)) —
+    the reference's video-critic convs (/root/reference/src/discriminator.py:180-207):
+    valid in time (T -> T-3), halved in space.
+    """
+    if ndim == 2:
+        strides: Tuple[int, ...] = (stride, stride)
+        kernel_size: Tuple[int, ...] = (kernel, kernel)
+        padding: Sequence[Tuple[int, int]] = ((1, 1), (1, 1))
+    else:
+        ts = 1 if time_stride is None else time_stride
+        strides = (ts, stride, stride)
+        kernel_size = (kernel, kernel, kernel)
+        padding = ((0, 0), (1, 1), (1, 1))
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel_size,
+        strides=strides,
+        padding=padding,
+        use_bias=False,
+        dtype=dtype,
+        kernel_init=(
+            conv_torch_default_init if torch_default_init else conv2d_kernel_init
+        ),
+        name=name,
+    )
+
+
+def up_conv(
+    features: int, dtype: Dtype, name: str
+) -> nn.ConvTranspose:
+    """Transposed conv, kernel 4 stride 2 'SAME': exactly torch
+    ConvTranspose2d(k=4, s=2, p=1) output sizing (H -> 2H)."""
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=(4, 4),
+        strides=(2, 2),
+        padding="SAME",
+        use_bias=False,
+        dtype=dtype,
+        kernel_init=conv2d_kernel_init,
+        name=name,
+    )
+
+
+def fold_time(x: jax.Array) -> jax.Array:
+    """(B, T, H, W, C) -> (B*T, H, W, C): per-frame nets see time as batch
+    (reference folds T into batch at /root/reference/src/generator.py:136,424-426)."""
+    b, t = x.shape[0], x.shape[1]
+    return x.reshape((b * t,) + x.shape[2:])
+
+
+def unfold_time(x: jax.Array, batch: int) -> jax.Array:
+    """(B*T, H, W, C) -> (B, T, H, W, C)."""
+    return x.reshape((batch, -1) + x.shape[1:])
