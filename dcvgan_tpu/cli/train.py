@@ -1,0 +1,61 @@
+"""Training CLI (reference: /root/reference/src/train.py).
+
+Usage: ``python -m dcvgan_tpu.cli.train --config configs/mug-depth.yml``
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+from dcvgan_tpu.config import load_config
+from dcvgan_tpu.data.dataset import VideoDataset
+from dcvgan_tpu.data.preprocess import get_preprocessor
+from dcvgan_tpu.parallel.mesh import multihost_init
+from dcvgan_tpu.train.trainer import Trainer
+
+
+def build_dataset(cfg) -> VideoDataset:
+    return VideoDataset(
+        name=cfg.dataset.name,
+        dataset_path=cfg.dataset.path,
+        preprocess_func=get_preprocessor(cfg.dataset.name),
+        video_length=cfg.video_length,
+        image_size=cfg.image_size,
+        number_limit=cfg.dataset.number_limit,
+        geometric_info=cfg.geometric_info.name,
+        processed_root=cfg.dataset.processed_root,
+        extension=cfg.dataset.extension,
+    )
+
+
+def build_evaluator(cfg, dataset):
+    if not cfg.evaluation.metrics:
+        return None
+    from dcvgan_tpu.eval.evaluator import Evaluator
+
+    return Evaluator(
+        metrics=cfg.evaluation.metrics,
+        num_samples=cfg.evaluation.num_samples,
+        batchsize=cfg.evaluation.batchsize,
+        dataset=dataset,
+    )
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config", "-c", required=True, help="training configuration YAML"
+    )
+    args = parser.parse_args(argv)
+
+    multihost_init()
+    cfg = load_config(args.config)
+    dataset = build_dataset(cfg)
+    evaluator = build_evaluator(cfg, dataset)
+    trainer = Trainer(cfg, dataset, evaluator=evaluator)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,9 @@ class DatasetConfig:
     # Root for processed data; reference hardcodes "data/processed"
     # (/root/reference/src/dataset.py:14).
     processed_root: str = "data/processed"
+    # Frame-image extension (the reference hardwires "jpg" for real datasets
+    # and "png" for the mock fixture, /root/reference/src/dataset.py:71).
+    extension: str = "jpg"
 
     def validate(self) -> None:
         if self.n_workers < 0:

@@ -1,0 +1,117 @@
+"""End-to-end evaluation: sample -> embed -> score.
+
+Reference protocol (/root/reference/src/trainer.py:171-224): generate
+``num_samples`` videos, write mp4s to a tempdir, call evan's IS/FID/PRD on
+the directories. Two paths here:
+
+- **in-memory (primary)**: generated uint8 videos and real dataset clips go
+  straight through the JAX feature extractor — no filesystem round-trip,
+- **directory protocol (parity)**: :meth:`evaluate_dirs` scores directories
+  of mp4 files, matching the reference CLI surface.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from dcvgan_tpu.eval.features import FeatureExtractor, default_extractor
+from dcvgan_tpu.eval.metrics import (
+    frechet_distance,
+    inception_score,
+    prd_curve,
+    prd_f_beta,
+)
+from dcvgan_tpu.eval.sampler import generate_samples
+from dcvgan_tpu.utils.video_np import videos_to_uint8
+
+
+class Evaluator:
+    def __init__(
+        self,
+        metrics: Sequence[str],
+        num_samples: int,
+        batchsize: int,
+        dataset=None,
+        extractor: Optional[FeatureExtractor] = None,
+        max_real_samples: int = 512,
+    ):
+        self.metrics = list(metrics)
+        self.num_samples = num_samples
+        self.batchsize = batchsize
+        self.dataset = dataset
+        self.extractor = extractor or default_extractor()
+        self.max_real_samples = max_real_samples
+        self._real_cache = None
+
+    # ------------------------------------------------------------ real side
+    def _real_features(self):
+        if self._real_cache is not None:
+            return self._real_cache
+        if self.dataset is None:
+            raise ValueError("reference dataset required for fid/prd")
+        n = min(len(self.dataset), self.max_real_samples)
+        rng = np.random.default_rng(0)
+        clips = [
+            videos_to_uint8(self.dataset.sample(i, rng)["color"])
+            for i in range(n)
+        ]
+        feats, _ = self.extractor(np.stack(clips), self.batchsize)
+        self._real_cache = feats
+        return feats
+
+    # ------------------------------------------------------------ fake side
+    def evaluate(self, gan, state, key) -> Dict[str, float]:
+        """Sample from the model and compute the configured metrics."""
+        _, xc = generate_samples(
+            gan, state, key, self.num_samples, self.batchsize, with_geo=False
+        )
+        return self.score_videos(xc)
+
+    def score_videos(self, videos_uint8: np.ndarray) -> Dict[str, float]:
+        """Score uint8 (N, T, H, W, 3) generated videos."""
+        feats, probs = self.extractor(videos_uint8, self.batchsize)
+        scores: Dict[str, float] = {}
+        for m in self.metrics:
+            if m == "is":
+                scores["is"] = inception_score(probs)
+            elif m == "fid":
+                scores["fid"] = frechet_distance(feats, self._real_features())
+            elif m == "prd":
+                prec, rec = prd_curve(self._real_features(), feats)
+                f8, f1_8 = prd_f_beta(prec, rec)
+                scores["prd"] = f8
+                scores["prd_f1_8"] = f1_8
+            else:
+                raise KeyError(f"unknown metric {m!r}")
+        return scores
+
+    # ---------------------------------------------------- directory protocol
+    def evaluate_dirs(
+        self, gen_dir: Path, ref_dir: Optional[Path] = None
+    ) -> Dict[str, float]:
+        """Score directories of mp4 files (reference evan protocol)."""
+        from dcvgan_tpu.io.video import read_videos_parallel
+
+        gen_paths = sorted(Path(gen_dir).glob("*.mp4"))
+        gen_videos = np.stack(read_videos_parallel(gen_paths))
+        feats, probs = self.extractor(gen_videos, self.batchsize)
+        scores: Dict[str, float] = {}
+        ref_feats = None
+        if ref_dir is not None:
+            ref_paths = sorted(Path(ref_dir).glob("*.mp4"))[: self.max_real_samples]
+            ref_videos = np.stack(read_videos_parallel(ref_paths))
+            ref_feats, _ = self.extractor(ref_videos, self.batchsize)
+        for m in self.metrics:
+            if m == "is":
+                scores["is"] = inception_score(probs)
+            elif m == "fid":
+                assert ref_feats is not None, "fid needs ref_dir"
+                scores["fid"] = frechet_distance(feats, ref_feats)
+            elif m == "prd":
+                assert ref_feats is not None, "prd needs ref_dir"
+                prec, rec = prd_curve(ref_feats, feats)
+                scores["prd"], scores["prd_f1_8"] = prd_f_beta(prec, rec)
+        return scores

@@ -1,0 +1,107 @@
+"""Device mesh, shardings, and multi-host initialization.
+
+This is the rebuild's "communication backend" (SURVEY.md §2.5): a
+``jax.sharding.Mesh`` whose ``data`` axis spans ICI, batch inputs sharded
+over ``data``, parameters replicated, and XLA inserting the gradient
+all-reduces — no hand-written NCCL/MPI analogue. A ``time`` axis is named
+(size 1 today) so the 3D-conv critics can later shard the temporal axis
+with halo exchange if ``video_length`` grows.
+
+Under ``jit`` with a data-sharded batch, BatchNorm's batch-mean reductions
+become global (cross-replica) statistics automatically — the
+``sync_batchnorm`` config default. Per-replica statistics are available via
+``shard_map`` around the step (axis_name plumbed through models/layers.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dcvgan_tpu.config import ExperimentConfig
+
+DATA_AXIS = "data"
+TIME_AXIS = "time"
+
+
+def multihost_init() -> None:
+    """Initialize multi-host JAX when launched under a multi-process runtime
+    (controlled by standard JAX env vars / TPU metadata). Safe no-op for
+    single-process runs."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    config: Optional[ExperimentConfig] = None,
+    data: Optional[int] = None,
+    time: int = 1,
+    devices=None,
+    batchsize: Optional[int] = None,
+) -> Mesh:
+    """Build the (data, time) mesh.
+
+    ``data=-1`` -> all devices / time; when ``batchsize`` is given, the data
+    axis shrinks to the largest divisor of the batch (tiny debug batches on
+    big hosts use a device subset rather than failing the shard).
+    """
+    if config is not None:
+        data = config.mesh.data if data is None else data
+        time = config.mesh.time
+        batchsize = config.batchsize if batchsize is None else batchsize
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None or data == -1:
+        if n % time:
+            raise ValueError(f"{n} devices not divisible by time={time}")
+        data = n // time
+        if batchsize is not None:
+            while data > 1 and batchsize % data:
+                data -= 1
+    if data * time > n:
+        raise ValueError(
+            f"mesh {data}x{time} exceeds {n} visible devices"
+        )
+    if batchsize is not None and batchsize % data:
+        raise ValueError(
+            f"batchsize {batchsize} not divisible by mesh data axis {data}"
+        )
+    used = devices.reshape(-1)[: data * time]
+    return Mesh(used.reshape(data, time), (DATA_AXIS, TIME_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: leading axis sharded over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Place a host batch dict onto the mesh, sharded over ``data``.
+
+    For multi-host: each process provides its local shard (see
+    ``VideoLoader(process_index=...)``); single-host: the full batch.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,407 @@
+"""The DCVGAN model bundle and its single jitted train step.
+
+The reference's training iteration (/root/reference/src/trainer.py:269-363)
+is two eager phases — discriminators then generators — with five separate
+``optimizer.step()`` calls, host round-trips for every loss scalar, and
+implicit global RNG. Here the *entire* iteration is one pure function
+
+    ``train_step(state, batch, key) -> (state, metrics)``
+
+compiled once by XLA: both adversarial phases, all five Adam updates, all
+RNG draws. The update-ratio gating (``num_gen_update`` / ``num_dis_update``)
+is a ``lax.cond`` on the step counter, so no recompiles and no host control
+flow. Observable reference semantics kept:
+
+- fakes in the D phase don't propagate gradients to the generators (the
+  reference discards those grads via zero_grad),
+- the G phase sees the *updated* discriminators and draws *fresh* fakes
+  (/root/reference/src/trainer.py:344-349),
+- one shared random frame index t_rand for the image critic in both phases
+  (/root/reference/src/trainer.py:279-280),
+- gating parity: D updates when ``iteration % num_gen_update == 0``,
+  G when ``iteration % num_dis_update == 0`` (the reference's inverted-name
+  quirk, /root/reference/src/trainer.py:318,355) with 1-based iterations,
+- optional ``ggen_double_step`` reproduces the reference's double
+  ``opt_ggen.step()`` (/root/reference/src/trainer.py:357-359); off by
+  default (single step is the evident intent).
+
+Deltas (documented, deliberate): generator BatchNorm running stats update
+once per iteration (G phase) instead of twice (the reference also updates
+them during D-phase sampling); discriminator running stats update in the D
+phase only (the reference also writes them during the G phase's critic
+forwards). Running stats only affect eval-mode sampling, not training-mode
+normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcvgan_tpu import prng
+from dcvgan_tpu.config import ExperimentConfig, OptimizerConfig
+from dcvgan_tpu.losses import get_loss
+from dcvgan_tpu.models import (
+    ColorVideoGenerator,
+    GeometricVideoGenerator,
+    GradientDiscriminator,
+    ImageDiscriminator,
+    VideoDiscriminator,
+)
+from dcvgan_tpu.train.state import GANState, ModelState
+
+MODEL_NAMES = ("ggen", "cgen", "idis", "vdis", "gdis")
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """torch-parity Adam: coupled weight decay added to the gradient before
+    the moment updates (reference: /root/reference/src/train.py:167-179)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.decay),
+        optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps),
+        optax.scale(-cfg.lr),
+    )
+
+
+class DCVGAN:
+    """Static model bundle: the five flax modules, losses, optimizers.
+
+    All jax-traced state lives in :class:`GANState`; this object holds only
+    hashable configuration, so its methods close over static structure and
+    can be jitted directly.
+    """
+
+    def __init__(self, config: ExperimentConfig):
+        self.config = config
+        dtype = (
+            jnp.bfloat16 if config.trainer.precision == "bfloat16" else jnp.float32
+        )
+        self.dtype = dtype
+        gi = config.geometric_info
+
+        self.ggen = GeometricVideoGenerator(
+            dim_z_content=config.ggen.dim_z_content,
+            dim_z_motion=config.ggen.dim_z_motion,
+            channel=gi.channel,
+            geometric_info=gi.name,
+            ngf=config.ggen.ngf,
+            video_length=config.video_length,
+            image_size=config.image_size,
+            dtype=dtype,
+        )
+        self.cgen = ColorVideoGenerator(
+            in_ch=gi.channel,
+            dim_z=config.cgen.dim_z_color,
+            geometric_info=gi.name,
+            ngf=config.cgen.ngf,
+            video_length=config.video_length,
+            image_size=config.image_size,
+            dtype=dtype,
+        )
+        self.idis = ImageDiscriminator(
+            ch_g=gi.channel,
+            ch_c=3,
+            use_noise=config.idis.use_noise,
+            noise_sigma=config.idis.noise_sigma,
+            ndf=config.idis.ndf,
+            dtype=dtype,
+        )
+        self.vdis = VideoDiscriminator(
+            ch_g=gi.channel,
+            ch_c=3,
+            use_noise=config.vdis.use_noise,
+            noise_sigma=config.vdis.noise_sigma,
+            ndf=config.vdis.ndf,
+            dtype=dtype,
+        )
+        self.gdis = GradientDiscriminator(
+            ch_g=gi.channel,
+            ch_c=3,
+            use_noise=config.gdis.use_noise,
+            noise_sigma=config.gdis.noise_sigma,
+            ndf=config.gdis.ndf,
+            dtype=dtype,
+        )
+        self.modules = {
+            "ggen": self.ggen,
+            "cgen": self.cgen,
+            "idis": self.idis,
+            "vdis": self.vdis,
+            "gdis": self.gdis,
+        }
+        self.loss = get_loss(config.loss)
+        self.tx = {
+            name: make_optimizer(getattr(config, name).optimizer)
+            for name in MODEL_NAMES
+        }
+
+    # ----------------------------------------------------------------- init
+    def init_state(self, key: jax.Array) -> GANState:
+        """Initialize all five models' params/stats and optimizer states."""
+        cfg = self.config
+        t, s = cfg.video_length, cfg.image_size
+        ch = cfg.geometric_info.channel
+        kinit = prng.named(key, "params_init")
+        keys = jax.random.split(kinit, 5)
+
+        dummy_geo_v = jnp.zeros((1, t, s, s, ch), self.dtype)
+        dummy_col_v = jnp.zeros((1, t, s, s, 3), self.dtype)
+        dummy_geo_f = dummy_geo_v[:, 0]
+        dummy_col_f = dummy_col_v[:, 0]
+
+        variables = {
+            "ggen": self.ggen.init(
+                {"params": keys[0], "latent": keys[0]}, 1, train=False
+            ),
+            "cgen": self.cgen.init(
+                {"params": keys[1], "latent": keys[1], "dropout": keys[1]},
+                dummy_geo_v,
+                train=False,
+                method=ColorVideoGenerator.forward_videos,
+            ),
+            "idis": self.idis.init(
+                {"params": keys[2], "noise": keys[2]}, dummy_geo_f, dummy_col_f
+            ),
+            "vdis": self.vdis.init(
+                {"params": keys[3], "noise": keys[3]}, dummy_geo_v, dummy_col_v
+            ),
+            "gdis": self.gdis.init(
+                {"params": keys[4], "noise": keys[4]}, dummy_geo_v, dummy_col_v
+            ),
+        }
+        states = {}
+        for name in MODEL_NAMES:
+            params = variables[name]["params"]
+            stats = variables[name].get("batch_stats", {})
+            states[name] = ModelState(
+                params=params,
+                batch_stats=stats,
+                opt_state=self.tx[name].init(params),
+            )
+        return GANState(step=jnp.zeros((), jnp.int32), **states)
+
+    # ------------------------------------------------------------- sampling
+    def sample_videos(
+        self,
+        state: GANState,
+        key: jax.Array,
+        batchsize: int,
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Sample (geometry, color) videos ``(B, T, H, W, C)`` in [-1, 1].
+
+        Eval mode by default (running BN stats, no dropout) — the reference
+        sets ``.eval()`` before sampling (/root/reference/src/util.py:296-297).
+        """
+        kg = prng.named(key, "ggen_motion")
+        kc = prng.named(key, "cgen_color")
+        xg = self.ggen.apply(
+            {"params": state.ggen.params, "batch_stats": state.ggen.batch_stats},
+            batchsize,
+            train=False,
+            rngs={"latent": kg},
+        )
+        xc = self.cgen.apply(
+            {"params": state.cgen.params, "batch_stats": state.cgen.batch_stats},
+            xg,
+            train=False,
+            rngs={"latent": kc},
+            method=ColorVideoGenerator.forward_videos,
+        )
+        return xg, xc
+
+    # ------------------------------------------------------------ train step
+    def train_step(
+        self, state: GANState, batch: Dict[str, jax.Array], key: jax.Array
+    ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        """One full GAN iteration (see module docstring). Jit me."""
+        cfg = self.config
+        geo = cfg.geometric_info.name
+        step = state.step + 1  # 1-based, reference iteration semantics
+        kstep = prng.for_step(key, step)
+
+        xc_real = batch["color"].astype(self.dtype)
+        xg_real = batch[geo].astype(self.dtype)
+        b = xc_real.shape[0]
+
+        t_rand = jax.random.randint(
+            prng.named(kstep, "t_rand"), (), 0, cfg.video_length
+        )
+
+        def frame(x: jax.Array) -> jax.Array:
+            return jax.lax.dynamic_index_in_dim(x, t_rand, axis=1, keepdims=False)
+
+        # ------------------------------------------------ phase discriminator
+        kd = prng.named(kstep, "d_fake")
+        xg_fake = self.ggen.apply(
+            {"params": state.ggen.params, "batch_stats": state.ggen.batch_stats},
+            b,
+            train=True,
+            rngs={"latent": prng.named(kd, "ggen_motion")},
+            mutable=["batch_stats"],
+        )[0]
+        xc_fake = self.cgen.apply(
+            {"params": state.cgen.params, "batch_stats": state.cgen.batch_stats},
+            xg_fake,
+            train=True,
+            rngs={
+                "latent": prng.named(kd, "cgen_color"),
+                "dropout": prng.named(kd, "cgen_dropout"),
+            },
+            mutable=["batch_stats"],
+            method=ColorVideoGenerator.forward_videos,
+        )[0]
+        xg_fake = jax.lax.stop_gradient(xg_fake)
+        xc_fake = jax.lax.stop_gradient(xc_fake)
+
+        def critic_apply(module, mstate_params, stats, xg, xc, nkey, is_frame):
+            x1 = frame(xg) if is_frame else xg
+            x2 = frame(xc) if is_frame else xc
+            return module.apply(
+                {"params": mstate_params, "batch_stats": stats},
+                x1,
+                x2,
+                rngs={"noise": nkey},
+                mutable=["batch_stats"],
+            )
+
+        def d_loss_fn(d_params):
+            ip, vp, gp = d_params
+            losses = {}
+            new_stats = {}
+            specs = [
+                ("idis", self.idis, ip, state.idis.batch_stats, True),
+                ("vdis", self.vdis, vp, state.vdis.batch_stats, False),
+                ("gdis", self.gdis, gp, state.gdis.batch_stats, False),
+            ]
+            for name, module, params, stats, is_frame in specs:
+                y_real, mut = critic_apply(
+                    module, params, stats, xg_real, xc_real,
+                    prng.named(prng.named(kstep, f"{name}_noise"), "d_fake"),
+                    is_frame,
+                )
+                y_fake, mut = critic_apply(
+                    module, params, mut["batch_stats"], xg_fake, xc_fake,
+                    prng.named(prng.named(kstep, f"{name}_noise"), "g_fake"),
+                    is_frame,
+                )
+                losses[name] = self.loss.dis(y_real, y_fake)
+                new_stats[name] = mut["batch_stats"]
+            total = losses["idis"] + losses["vdis"] + losses["gdis"]
+            return total, (losses, new_stats)
+
+        d_params = (state.idis.params, state.vdis.params, state.gdis.params)
+        d_grads, (d_losses, d_stats) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+
+        do_d = (step % cfg.num_gen_update) == 0
+
+        def gated_update(
+            mstate: ModelState, grads, tx, do: jax.Array, stats, n_steps: int = 1
+        ) -> ModelState:
+            def apply_fn(ms):
+                params, opt_state = ms.params, ms.opt_state
+                for _ in range(n_steps):
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                return ms.replace(
+                    params=params, opt_state=opt_state, batch_stats=stats
+                )
+
+            def keep_fn(ms):
+                # BN stats advance regardless of the optimizer gate (torch BN
+                # updates running stats on every forward).
+                return ms.replace(batch_stats=stats)
+
+            return jax.lax.cond(do, apply_fn, keep_fn, mstate)
+
+        new_idis = gated_update(state.idis, d_grads[0], self.tx["idis"], do_d, d_stats["idis"])
+        new_vdis = gated_update(state.vdis, d_grads[1], self.tx["vdis"], do_d, d_stats["vdis"])
+        new_gdis = gated_update(state.gdis, d_grads[2], self.tx["gdis"], do_d, d_stats["gdis"])
+
+        # ---------------------------------------------------- phase generator
+        kg = prng.named(kstep, "g_fake")
+
+        def g_loss_fn(g_params):
+            ggp, cgp = g_params
+            xg_f, gg_mut = self.ggen.apply(
+                {"params": ggp, "batch_stats": state.ggen.batch_stats},
+                b,
+                train=True,
+                rngs={"latent": prng.named(kg, "ggen_motion")},
+                mutable=["batch_stats"],
+            )
+            xc_f, cg_mut = self.cgen.apply(
+                {"params": cgp, "batch_stats": state.cgen.batch_stats},
+                xg_f,
+                train=True,
+                rngs={
+                    "latent": prng.named(kg, "cgen_color"),
+                    "dropout": prng.named(kg, "cgen_dropout"),
+                },
+                mutable=["batch_stats"],
+                method=ColorVideoGenerator.forward_videos,
+            )
+            # critics: *updated* D params; train-mode batch stats, not persisted
+            y_i = self.idis.apply(
+                {"params": new_idis.params, "batch_stats": new_idis.batch_stats},
+                frame(xg_f), frame(xc_f),
+                rngs={"noise": prng.named(kg, "idis_noise")},
+                mutable=["batch_stats"],
+            )[0]
+            y_v = self.vdis.apply(
+                {"params": new_vdis.params, "batch_stats": new_vdis.batch_stats},
+                xg_f, xc_f,
+                rngs={"noise": prng.named(kg, "vdis_noise")},
+                mutable=["batch_stats"],
+            )[0]
+            y_g = self.gdis.apply(
+                {"params": new_gdis.params, "batch_stats": new_gdis.batch_stats},
+                xg_f, xc_f,
+                rngs={"noise": prng.named(kg, "gdis_noise")},
+                mutable=["batch_stats"],
+            )[0]
+            loss_gen = self.loss.gen(y_i, y_v, y_g)
+            return loss_gen, (gg_mut["batch_stats"], cg_mut["batch_stats"])
+
+        g_params = (state.ggen.params, state.cgen.params)
+        g_grads, (loss_gen, (gg_stats, cg_stats)) = _grad_with_value(
+            g_loss_fn, g_params
+        )
+
+        do_g = (step % cfg.num_dis_update) == 0
+        ggen_steps = 2 if cfg.trainer.ggen_double_step else 1
+        new_ggen = gated_update(
+            state.ggen, g_grads[0], self.tx["ggen"], do_g, gg_stats, ggen_steps
+        )
+        new_cgen = gated_update(state.cgen, g_grads[1], self.tx["cgen"], do_g, cg_stats)
+
+        new_state = GANState(
+            step=step,
+            ggen=new_ggen,
+            cgen=new_cgen,
+            idis=new_idis,
+            vdis=new_vdis,
+            gdis=new_gdis,
+        )
+        metrics = {
+            "loss_idis": d_losses["idis"],
+            "loss_vdis": d_losses["vdis"],
+            "loss_gdis": d_losses["gdis"],
+            "loss_gen": loss_gen,
+        }
+        return new_state, metrics
+
+    # ------------------------------------------------------------- jit entry
+    @functools.cached_property
+    def jitted_train_step(self):
+        donate = (0,) if self.config.trainer.donate_state else ()
+        return jax.jit(self.train_step, donate_argnums=donate)
+
+
+def _grad_with_value(loss_fn, params):
+    (value, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return grads, (value, aux)

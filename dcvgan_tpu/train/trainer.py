@@ -1,0 +1,217 @@
+"""Training runtime: the epoch/step loop around the jitted train step.
+
+Reference: ``Trainer`` (/root/reference/src/trainer.py:23-392). Interval
+semantics (log / log_samples / snapshot / evaluation) and the metric set
+are preserved; the mechanics are TPU-native:
+
+- one compiled step; losses stay on device and are fetched only at
+  ``log_interval`` flushes, keeping dispatch asynchronous,
+- batches stream through the prefetching host loader onto the mesh
+  (``data``-axis sharded),
+- checkpoints are Orbax (full state incl. optimizer + step) with resume —
+  the reference is save-only,
+- optional ``jax.profiler`` trace capture (the reference's only profiling
+  artifact is ``nvidia-smi -l 3``, SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from dcvgan_tpu import prng
+from dcvgan_tpu.config import ExperimentConfig, flatten_config, save_config
+from dcvgan_tpu.data.dataset import VideoDataset
+from dcvgan_tpu.data.loader import VideoLoader
+from dcvgan_tpu.eval.sampler import generate_samples
+from dcvgan_tpu.logging.logger import Logger, MetricType
+from dcvgan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from dcvgan_tpu.train.checkpoint import CheckpointManager
+from dcvgan_tpu.train.state import GANState
+from dcvgan_tpu.train.step import DCVGAN
+from dcvgan_tpu.utils.video_np import (
+    geometric_info_in_color_format,
+    make_video_grid,
+    videos_to_uint8,
+)
+
+
+class Trainer:
+    NUM_LOG, ROWS_LOG, COLS_LOG = 25, 5, 5  # 5×5 TB sample grids (reference :42)
+
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        dataset: VideoDataset,
+        logger: Optional[Logger] = None,
+        evaluator=None,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.geometric_info = config.geometric_info.name
+
+        run_dir = Path(config.log_dir) / config.experiment_name
+        tb_dir = Path(config.tensorboard_dir) / config.experiment_name
+        self.run_dir = run_dir
+        self.logger = logger or Logger(run_dir, tb_dir)
+
+        # provenance copy of the config (reference :64)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        save_config(config, run_dir / "config.yml")
+
+        self.mesh = create_mesh(config)
+        self.gan = DCVGAN(config)
+        self.loader = VideoLoader(
+            dataset,
+            batchsize=config.batchsize,
+            n_workers=config.dataset.n_workers,
+            seed=config.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        self.ckpt = CheckpointManager(run_dir / "models")
+        self.evaluator = evaluator
+        self.base_key = prng.base_key(config.seed)
+
+        # init or resume
+        state = self.gan.init_state(self.base_key)
+        state = replicate(state, self.mesh)
+        if config.trainer.resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            self.logger.info(
+                f"resumed from checkpoint at step {int(state.step)}"
+            )
+        self.state: GANState = state
+        self.epoch = int(self.state.step) // max(1, len(self.loader))
+
+    # ------------------------------------------------------------------ logs
+    def log_hparams(self) -> None:
+        self.logger.tf_log_hparams(flatten_config(self.config))
+
+    def log_samples(self, iteration: int) -> None:
+        """5×5 grid of geometry|color sample videos + histograms to TB
+        (reference log_samples, /root/reference/src/trainer.py:109-169)."""
+        key = prng.named(prng.for_step(self.base_key, iteration), "sample")
+        xg, xc = generate_samples(
+            self.gan, self.state, key, self.NUM_LOG, self.NUM_LOG
+        )
+        self.logger.tf_log_histogram(xg[..., 0], "geospace_fake", iteration)
+        self.logger.tf_log_histogram(xc[..., 0], "colorspace_fake", iteration)
+        grid_g = make_video_grid(xg, self.ROWS_LOG, self.COLS_LOG)
+        grid_c = make_video_grid(xc, self.ROWS_LOG, self.COLS_LOG)
+        fake = np.concatenate([grid_g, grid_c], axis=3)  # side by side on W
+        self.logger.tf_log_video(fake, "fake_samples", iteration)
+
+        # real batch for comparison (dedicated epoch id outside the training
+        # sequence so the shuffle is independent but the seed stays valid)
+        real = next(iter(self.loader.epoch_iterator(epoch=2**31 + iteration)))
+        n = min(self.NUM_LOG, real["color"].shape[0])
+        rows = cols = int(np.sqrt(n))
+        if rows * cols >= 1:
+            xc_real = videos_to_uint8(real["color"][: rows * cols])
+            xg_real = geometric_info_in_color_format(
+                real[self.geometric_info][: rows * cols], self.geometric_info
+            )
+            self.logger.tf_log_histogram(xg_real[..., 0], "geospace_real", iteration)
+            self.logger.tf_log_histogram(xc_real[..., 0], "colorspace_real", iteration)
+            grid = np.concatenate(
+                [
+                    make_video_grid(xg_real, rows, cols),
+                    make_video_grid(xc_real, rows, cols),
+                ],
+                axis=3,
+            )
+            self.logger.tf_log_video(grid, "real_samples", iteration)
+
+    def evaluate(self, iteration: int) -> None:
+        """Quantitative GAN metrics (reference evaluate,
+        /root/reference/src/trainer.py:171-224); delegated to the injected
+        evaluator (see dcvgan_tpu.eval)."""
+        if self.evaluator is None or not self.config.evaluation.metrics:
+            return
+        key = prng.named(prng.for_step(self.base_key, iteration), "eval")
+        scores = self.evaluator.evaluate(self.gan, self.state, key)
+        for name, score in scores.items():
+            self.logger.update(name, float(score))
+
+    # ------------------------------------------------------------------ loop
+    def train(self) -> GANState:
+        cfg = self.config
+        logger = self.logger
+
+        logger.define("loss_gen", MetricType.Loss)
+        logger.define("loss_idis", MetricType.Loss)
+        logger.define("loss_vdis", MetricType.Loss)
+        logger.define("loss_gdis", MetricType.Loss)
+        logger.define("iters_per_sec", MetricType.Float, priority=-2)
+        for m in cfg.evaluation.metrics:
+            logger.define(m, MetricType.Float)
+
+        self.log_hparams()
+        logger.debug("(trainer)")
+        logger.debug(f"epochs: {cfg.n_epochs}", 1)
+        logger.debug(f"devices: {jax.device_count()} ({jax.devices()[0].platform})", 1)
+        logger.debug(f"mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}", 1)
+        logger.debug("(start training)")
+
+        if int(self.state.step) == 0:
+            self.log_samples(0)
+            self.evaluate(0)
+        logger.print_header()
+
+        if cfg.trainer.profile:
+            jax.profiler.start_trace(str(self.run_dir / "profile"))
+
+        step_fn = self.gan.jitted_train_step
+        pending: List[Dict[str, jax.Array]] = []
+        t_last_flush = time.time()
+        iters_since_flush = 0
+
+        try:
+            for _ in range(self.epoch, cfg.n_epochs):
+                self.epoch += 1
+                for batch in self.loader.epoch_iterator(epoch=self.epoch - 1):
+                    device_batch = shard_batch(batch, self.mesh)
+                    self.state, metrics = step_fn(
+                        self.state, device_batch, self.base_key
+                    )
+                    pending.append(metrics)
+                    iters_since_flush += 1
+                    iteration = int(self.state.step)
+
+                    if iteration % cfg.snapshot_interval == 0:
+                        self.ckpt.save(self.state)
+                    if iteration % cfg.log_samples_interval == 0:
+                        self.log_samples(iteration)
+                    if iteration % cfg.evaluation_interval == 0:
+                        self.evaluate(iteration)
+                    if iteration % cfg.log_interval == 0:
+                        # single host sync for the whole window
+                        host_metrics = jax.device_get(pending)
+                        pending = []
+                        for m in host_metrics:
+                            for k, v in m.items():
+                                logger.update(k, float(v))
+                        now = time.time()
+                        logger.update(
+                            "iters_per_sec",
+                            iters_since_flush / max(1e-9, now - t_last_flush),
+                        )
+                        t_last_flush, iters_since_flush = now, 0
+                        logger.update("iteration", iteration)
+                        logger.update("epoch", self.epoch)
+                        logger.log()
+                        logger.clear()
+        finally:
+            if cfg.trainer.profile:
+                jax.profiler.stop_trace()
+
+        # final snapshot + samples (reference :391-392)
+        self.ckpt.save(self.state, force=True)
+        self.ckpt.wait()
+        self.log_samples(int(self.state.step))
+        return self.state
