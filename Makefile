@@ -1,0 +1,29 @@
+# Developer entry points (reference: /root/reference/Makefile).
+
+.PHONY: test test-fast format lint bench train-debug tb ci
+
+test:  ## full suite on the virtual 8-device CPU mesh
+	python -m pytest tests/ -q
+
+test-fast:  ## skip the slow compile-heavy suites
+	python -m pytest tests/ -q --ignore=tests/test_e2e.py \
+		--ignore=tests/test_train_step.py --ignore=tests/test_parallel.py
+
+format:
+	python -m black dcvgan_tpu tests tools 2>/dev/null || true
+	python -m isort dcvgan_tpu tests tools 2>/dev/null || true
+
+lint:
+	python -m ruff check dcvgan_tpu tests 2>/dev/null || \
+		python -m flake8 dcvgan_tpu tests 2>/dev/null || true
+
+bench:  ## one-line JSON throughput benchmark
+	python bench.py
+
+train-debug:  ## CPU-runnable end-to-end slice on the mock dataset
+	python -m dcvgan_tpu.cli.train --config configs/debug-mock-depth.yml
+
+tb:  ## tensorboard over the default result dir
+	tensorboard --logdir result/
+
+ci: test

@@ -29,6 +29,7 @@ from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
+from dcvgan_tpu import native
 from dcvgan_tpu.io.image import read_img
 
 PreprocessFunc = Callable[[Path, Path, str, int, int, int], None]
@@ -130,7 +131,7 @@ class VideoDataset:
     def _read_color(self, path: Path, frames: range) -> np.ndarray:
         placeholder = str(path / "color" / ("{:03d}." + self.ext))
         video = np.stack([read_img(placeholder.format(i)) for i in frames])
-        return video.astype(np.float32) / 127.5 - 1.0  # (T, H, W, 3)
+        return native.normalize_u8(video, 127.5, -1.0)  # (T, H, W, 3)
 
     def _read_geometry(self, path: Path, frames: range) -> np.ndarray:
         gi = self.geometric_info
@@ -141,15 +142,15 @@ class VideoDataset:
             video = np.stack(
                 [read_img(placeholder.format(i), grayscale=True) for i in frames]
             )
-            return video.astype(np.float32) / 127.5 - 1.0  # (T, H, W, 1)
+            return native.normalize_u8(video, 127.5, -1.0)  # (T, H, W, 1)
         if gi == "optical-flow":
             flow = np.load(str(path / (gi + ".npy")), mmap_mode="r")
             flow = np.asarray(flow[list(frames)], dtype=np.float32)
-            return flow / float(self.image_size)  # (T, H, W, 2)
+            return native.scale_f32(flow, 1.0 / self.image_size)  # (T, H, W, 2)
         if gi == "segmentation":
             segm = np.load(str(path / "segm.npy"), mmap_mode="r")
             segm = np.asarray(segm[list(frames)])
-            return np.eye(NUM_SEGM_PARTS, dtype=np.float32)[segm]  # (T, H, W, 25)
+            return native.one_hot(segm, NUM_SEGM_PARTS)  # (T, H, W, 25)
         raise NotImplementedError(f"geometric_info {gi!r}")
 
     def _read_surreal_depth(self, path: Path, frames: range) -> np.ndarray:

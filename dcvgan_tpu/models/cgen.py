@@ -124,6 +124,7 @@ class ColorVideoGenerator(nn.Module):
             strides=(1, 1),
             padding="SAME",
             use_bias=False,
+            transpose_kernel=True,
             dtype=self.dtype,
             kernel_init=conv2d_kernel_init,
             name="outconv",

@@ -71,6 +71,9 @@ class GeometricVideoGenerator(nn.Module):
         # dim_z -> 8·ngf at 4×4 (torch ConvTranspose2d(k=4, s=1, p=0) on 1×1),
         # then doubling resolution each stage with channel multipliers
         # min(8, 2^k) down to 1 (64px: 4, 2, 1 — the reference schedule).
+        # transpose_kernel=True throughout: exact torch ConvTranspose2d
+        # adjoint semantics, so reference checkpoints import as transposes
+        # (see models/layers.py up_conv).
         ups.append(
             nn.ConvTranspose(
                 features=self.ngf * 8,
@@ -78,6 +81,7 @@ class GeometricVideoGenerator(nn.Module):
                 strides=(1, 1),
                 padding="VALID",
                 use_bias=False,
+                transpose_kernel=True,
                 dtype=self.dtype,
                 kernel_init=conv2d_kernel_init,
             )
@@ -91,6 +95,7 @@ class GeometricVideoGenerator(nn.Module):
                     strides=(2, 2),
                     padding="SAME",
                     use_bias=False,
+                    transpose_kernel=True,
                     dtype=self.dtype,
                     kernel_init=conv2d_kernel_init,
                 )
@@ -115,6 +120,7 @@ class GeometricVideoGenerator(nn.Module):
                 strides=(2, 2),
                 padding="SAME",
                 use_bias=False,
+                transpose_kernel=True,
                 dtype=self.dtype,
                 kernel_init=conv2d_kernel_init,
             )

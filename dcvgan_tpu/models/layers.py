@@ -138,13 +138,21 @@ def up_conv(
     features: int, dtype: Dtype, name: str
 ) -> nn.ConvTranspose:
     """Transposed conv, kernel 4 stride 2 'SAME': exactly torch
-    ConvTranspose2d(k=4, s=2, p=1) output sizing (H -> 2H)."""
+    ConvTranspose2d(k=4, s=2, p=1) output sizing (H -> 2H).
+
+    ``transpose_kernel=True`` (kernel stored (kH, kW, O, I), spatially
+    flipped on use) makes the op the *exact* adjoint of the forward conv —
+    torch ConvTranspose2d weights import as a pure axis transpose (verified
+    to 6e-8 in tests/test_torch_parity.py). Init is symmetric, so fresh
+    training is unaffected.
+    """
     return nn.ConvTranspose(
         features=features,
         kernel_size=(4, 4),
         strides=(2, 2),
         padding="SAME",
         use_bias=False,
+        transpose_kernel=True,
         dtype=dtype,
         kernel_init=conv2d_kernel_init,
         name=name,
