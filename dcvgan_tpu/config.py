@@ -206,6 +206,9 @@ class TrainerConfig:
     resume: bool = True
     # jax.profiler trace capture into <log_dir>/profile when set.
     profile: bool = False
+    # Debug option: raise on NaNs from any jitted computation
+    # (jax_debug_nans; SURVEY.md §5.2 — the reference has no sanitizers).
+    debug_nans: bool = False
     # Donate state buffers into the jitted step (saves HBM).
     donate_state: bool = True
 

@@ -63,6 +63,9 @@ class Trainer:
         run_dir.mkdir(parents=True, exist_ok=True)
         save_config(config, run_dir / "config.yml")
 
+        if config.trainer.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
         self.mesh = create_mesh(config)
         self.gan = DCVGAN(config)
         self.loader = VideoLoader(
