@@ -26,6 +26,9 @@ def build_dataset(cfg) -> VideoDataset:
         geometric_info=cfg.geometric_info.name,
         processed_root=cfg.dataset.processed_root,
         extension=cfg.dataset.extension,
+        # uint8 passthrough only affects the uint8 modalities (color and
+        # non-surreal depth); float modalities are unaffected.
+        raw_uint8=cfg.trainer.device_normalize,
     )
 
 

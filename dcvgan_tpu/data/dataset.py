@@ -60,6 +60,7 @@ class VideoDataset:
         mode: str = "train",
         extension: str = "jpg",
         processed_root: Union[str, Path] = "data/processed",
+        raw_uint8: bool = False,
     ):
         root_path = Path(processed_root) / name / mode
         if not root_path.exists():
@@ -98,6 +99,10 @@ class VideoDataset:
         self.image_size = image_size
         self.geometric_info = geometric_info
         self.ext = extension
+        # raw_uint8: skip host-side normalization for uint8 modalities
+        # (color + non-surreal depth); the train step dequantizes on device
+        # (ops/dequant.py), quartering host->device transfer bytes.
+        self.raw_uint8 = raw_uint8
 
     def __len__(self) -> int:
         return len(self.video_list)
@@ -131,6 +136,8 @@ class VideoDataset:
     def _read_color(self, path: Path, frames: range) -> np.ndarray:
         placeholder = str(path / "color" / ("{:03d}." + self.ext))
         video = np.stack([read_img(placeholder.format(i)) for i in frames])
+        if self.raw_uint8:
+            return video  # (T, H, W, 3) uint8; device dequantizes
         return native.normalize_u8(video, 127.5, -1.0)  # (T, H, W, 3)
 
     def _read_geometry(self, path: Path, frames: range) -> np.ndarray:
@@ -142,6 +149,8 @@ class VideoDataset:
             video = np.stack(
                 [read_img(placeholder.format(i), grayscale=True) for i in frames]
             )
+            if self.raw_uint8:
+                return video  # (T, H, W, 1) uint8; device dequantizes
             return native.normalize_u8(video, 127.5, -1.0)  # (T, H, W, 1)
         if gi == "optical-flow":
             flow = np.load(str(path / (gi + ".npy")), mmap_mode="r")

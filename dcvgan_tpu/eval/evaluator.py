@@ -77,8 +77,11 @@ class Evaluator:
         for m in self.metrics:
             if m == "is":
                 scores["is"] = inception_score(probs)
-            elif m == "fid":
-                scores["fid"] = frechet_distance(feats, self._real_features())
+            elif m in ("fid", "fvd"):
+                # The extractor embeds whole clips, so the Fréchet distance
+                # over its features IS an FVD (Fréchet *Video* Distance);
+                # "fid" is kept as the reference's config name for it.
+                scores[m] = frechet_distance(feats, self._real_features())
             elif m == "prd":
                 prec, rec = prd_curve(self._real_features(), feats)
                 f8, f1_8 = prd_f_beta(prec, rec)

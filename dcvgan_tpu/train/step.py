@@ -52,6 +52,7 @@ from dcvgan_tpu.models import (
     ImageDiscriminator,
     VideoDiscriminator,
 )
+from dcvgan_tpu.ops.dequant import dequantize_video
 from dcvgan_tpu.train.state import GANState, ModelState
 
 MODEL_NAMES = ("ggen", "cgen", "idis", "vdis", "gdis")
@@ -224,8 +225,15 @@ class DCVGAN:
         step = state.step + 1  # 1-based, reference iteration semantics
         kstep = prng.for_step(key, step)
 
-        xc_real = batch["color"].astype(self.dtype)
-        xg_real = batch[geo].astype(self.dtype)
+        def ingest(x: jax.Array) -> jax.Array:
+            # uint8 batches arrive raw from the host (4x less transfer) and
+            # dequantize on device through the Pallas kernel.
+            if x.dtype == jnp.uint8:
+                return dequantize_video(x, self.dtype)
+            return x.astype(self.dtype)
+
+        xc_real = ingest(batch["color"])
+        xg_real = ingest(batch[geo])
         b = xc_real.shape[0]
 
         t_rand = jax.random.randint(

@@ -34,6 +34,7 @@ from dcvgan_tpu.train.checkpoint import CheckpointManager
 from dcvgan_tpu.train.state import GANState
 from dcvgan_tpu.train.step import DCVGAN
 from dcvgan_tpu.utils.video_np import (
+    ensure_float_video,
     geometric_info_in_color_format,
     make_video_grid,
     videos_to_uint8,
@@ -117,7 +118,8 @@ class Trainer:
         if rows * cols >= 1:
             xc_real = videos_to_uint8(real["color"][: rows * cols])
             xg_real = geometric_info_in_color_format(
-                real[self.geometric_info][: rows * cols], self.geometric_info
+                ensure_float_video(real[self.geometric_info][: rows * cols]),
+                self.geometric_info,
             )
             self.logger.tf_log_histogram(xg_real[..., 0], "geospace_real", iteration)
             self.logger.tf_log_histogram(xc_real[..., 0], "colorspace_real", iteration)

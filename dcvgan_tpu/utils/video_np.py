@@ -14,10 +14,21 @@ import numpy as np
 
 def videos_to_uint8(videos: np.ndarray) -> np.ndarray:
     """[-1, 1] float -> [0, 255] uint8 with clipping
-    (reference videos_to_numpy, /root/reference/src/util.py:58-79)."""
-    videos = np.asarray(videos, dtype=np.float32)
-    videos = np.clip(videos, -1, 1)
+    (reference videos_to_numpy, /root/reference/src/util.py:58-79).
+    uint8 input (raw-passthrough loader batches) returns unchanged."""
+    videos = np.asarray(videos)
+    if videos.dtype == np.uint8:
+        return videos
+    videos = np.clip(videos.astype(np.float32), -1, 1)
     return ((videos + 1) / 2 * 255).astype(np.uint8)
+
+
+def ensure_float_video(videos: np.ndarray) -> np.ndarray:
+    """uint8 [0, 255] -> float32 [-1, 1]; float passes through."""
+    videos = np.asarray(videos)
+    if videos.dtype == np.uint8:
+        return videos.astype(np.float32) / 127.5 - 1.0
+    return videos.astype(np.float32)
 
 
 def make_video_grid(videos: np.ndarray, rows: int, cols: int) -> np.ndarray:
