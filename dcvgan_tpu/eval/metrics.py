@@ -59,14 +59,19 @@ def _kmeans(data: np.ndarray, k: int, iters: int = 50, seed: int = 0) -> np.ndar
     """Plain-numpy k-means (k-means++ init); returns cluster assignments."""
     rng = np.random.default_rng(seed)
     n = data.shape[0]
-    # k-means++ seeding
+    k = min(k, n)
+    # k-means++ seeding (uniform fallback when remaining distances vanish,
+    # e.g. fewer distinct points than clusters)
     centers = [data[rng.integers(n)]]
     for _ in range(1, k):
         d2 = np.min(
             ((data[:, None, :] - np.stack(centers)[None]) ** 2).sum(-1), axis=1
         )
-        p = d2 / max(d2.sum(), 1e-12)
-        centers.append(data[rng.choice(n, p=p)])
+        total = d2.sum()
+        if total <= 0 or not np.isfinite(total):
+            centers.append(data[rng.integers(n)])
+        else:
+            centers.append(data[rng.choice(n, p=d2 / total)])
     centers = np.stack(centers)
     assign = np.zeros(n, np.int64)
     for _ in range(iters):

@@ -1,0 +1,97 @@
+"""Evaluator: in-memory scoring, directory protocol, synthetic dataset."""
+
+import numpy as np
+import pytest
+
+from dcvgan_tpu.eval.evaluator import Evaluator
+from dcvgan_tpu.eval.features import FeatureExtractor
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    return FeatureExtractor(seed=0)
+
+
+def fake_videos(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, 16, 64, 64, 3), dtype=np.uint8)
+
+
+class ArrayDataset:
+    """Minimal dataset stub exposing sample() like VideoDataset."""
+
+    def __init__(self, videos):
+        self.videos = videos  # uint8
+
+    def __len__(self):
+        return len(self.videos)
+
+    def sample(self, i, rng):
+        return {"color": self.videos[i].astype(np.float32) / 127.5 - 1.0}
+
+
+def test_score_videos_all_metrics(extractor):
+    real = fake_videos(8, seed=1)
+    ev = Evaluator(
+        metrics=["is", "fid", "fvd", "prd"], num_samples=8, batchsize=4,
+        dataset=ArrayDataset(real), extractor=extractor,
+    )
+    scores = ev.score_videos(fake_videos(8, seed=2))
+    assert set(scores) == {"is", "fid", "fvd", "prd", "prd_f1_8"}
+    assert scores["is"] >= 1.0
+    assert scores["fid"] >= 0.0
+    assert scores["fid"] == scores["fvd"]
+    assert 0.0 <= scores["prd"] <= 1.0
+
+
+def test_fid_lower_for_same_distribution(extractor):
+    real = fake_videos(16, seed=3)
+    ev = Evaluator(
+        metrics=["fid"], num_samples=16, batchsize=8,
+        dataset=ArrayDataset(real), extractor=extractor,
+    )
+    # same distribution (uniform noise) vs structured (constant videos)
+    near = ev.score_videos(fake_videos(16, seed=4))["fid"]
+    constant = np.full((16, 16, 64, 64, 3), 128, np.uint8)
+    far = ev.score_videos(constant)["fid"]
+    assert near < far
+
+
+def test_directory_protocol(tmp_path, extractor):
+    from dcvgan_tpu.io.video import write_videos_parallel
+
+    gen_dir = tmp_path / "gen"
+    ref_dir = tmp_path / "ref"
+    gen_dir.mkdir(), ref_dir.mkdir()
+    gen = fake_videos(4, seed=5)
+    ref = fake_videos(4, seed=6)
+    write_videos_parallel(gen, [gen_dir / f"{i}.mp4" for i in range(4)])
+    write_videos_parallel(ref, [ref_dir / f"{i}.mp4" for i in range(4)])
+
+    ev = Evaluator(metrics=["is", "fid"], num_samples=4, batchsize=4,
+                   extractor=extractor)
+    scores = ev.evaluate_dirs(gen_dir, ref_dir)
+    assert scores["is"] >= 1.0
+    assert np.isfinite(scores["fid"])
+
+
+def test_synthetic_dataset_generation(tmp_path):
+    from dcvgan_tpu.data.dataset import VideoDataset
+    from dcvgan_tpu.data.preprocess import get_preprocessor
+
+    ds = VideoDataset(
+        name="synthetic",
+        dataset_path="unused",
+        preprocess_func=get_preprocessor("synthetic"),
+        video_length=16,
+        image_size=32,
+        geometric_info="depth",
+        processed_root=tmp_path,
+    )
+    assert len(ds) == 64
+    s = ds.sample(0, np.random.default_rng(0))
+    assert s["color"].shape == (16, 32, 32, 3)
+    assert s["depth"].shape == (16, 32, 32, 1)
+    assert s["color"].min() >= -1 and s["color"].max() <= 1
+    # depth is bimodal: near shape / far background
+    assert s["depth"].std() > 0.05
