@@ -103,6 +103,17 @@ class VideoLoader:
         stop = threading.Event()
         _SENTINEL = object()
 
+        def put(item) -> bool:
+            # bounded put that honors `stop` so an abandoned iterator never
+            # leaves the producer blocked on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in range(n_batches):
@@ -110,11 +121,12 @@ class VideoLoader:
                         return
                     global_idx = order[b * self.batchsize : (b + 1) * self.batchsize]
                     local_idx = global_idx[lo : lo + self.local_batchsize]
-                    q.put(self._load_batch(local_idx, epoch, b))
+                    if not put(self._load_batch(local_idx, epoch, b)):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(_SENTINEL)
+                put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

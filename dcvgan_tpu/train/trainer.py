@@ -141,6 +141,9 @@ class Trainer:
         key = prng.named(prng.for_step(self.base_key, iteration), "eval")
         scores = self.evaluator.evaluate(self.gan, self.state, key)
         for name, score in scores.items():
+            if name not in self.logger.metrics:
+                # evaluators may emit derived metrics (e.g. prd_f1_8)
+                self.logger.define(name, MetricType.Float)
             self.logger.update(name, float(score))
 
     # ------------------------------------------------------------------ loop

@@ -122,3 +122,22 @@ def test_infer_cli_roundtrip(tmp_path, mock_ds):
 
     v = read_video(color[0])
     assert v.shape == (16, 64, 64, 3)
+
+
+def test_trainer_with_evaluation(tmp_path, mock_ds):
+    """Trainer loop with in-loop IS/FID evaluation over the mock dataset."""
+    cfg = e2e_config(tmp_path, mock_ds, n_epochs=1)
+    cfg.evaluation.metrics = ["is", "fid"]
+    cfg.evaluation.num_samples = 2
+    cfg.evaluation.batchsize = 2
+
+    from dcvgan_tpu.cli.train import build_evaluator
+
+    ds = make_dataset(cfg)
+    evaluator = build_evaluator(cfg, ds)
+    trainer = Trainer(cfg, ds, evaluator=evaluator)
+    # force an eval at step 0 + after the step
+    trainer.evaluate(0)
+    assert "is" in trainer.logger.metrics
+    assert trainer.logger.metrics["is"].value is not None
+    assert np.isfinite(trainer.logger.metrics["fid"].value)
