@@ -209,6 +209,10 @@ class TrainerConfig:
     # Debug option: raise on NaNs from any jitted computation
     # (jax_debug_nans; SURVEY.md §5.2 — the reference has no sanitizers).
     debug_nans: bool = False
+    # Rematerialize generator forwards in the G-phase backward pass
+    # (jax.checkpoint): trades ~1 extra generator forward for the largest
+    # activation buffers, buying batch-size headroom in HBM.
+    remat: bool = False
     # Donate state buffers into the jitted step (saves HBM).
     donate_state: bool = True
     # Ship uint8 frames to the device and dequantize on-chip (Pallas kernel,

@@ -217,13 +217,34 @@ class DCVGAN:
 
     # ------------------------------------------------------------ train step
     def train_step(
-        self, state: GANState, batch: Dict[str, jax.Array], key: jax.Array
+        self,
+        state: GANState,
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        axis_name: str | None = None,
     ) -> Tuple[GANState, Dict[str, jax.Array]]:
-        """One full GAN iteration (see module docstring). Jit me."""
+        """One full GAN iteration (see module docstring). Jit me.
+
+        ``axis_name=None`` (default): the step sees the *global* batch under
+        jit — BatchNorm statistics are global-batch ("sync BN").
+        ``axis_name="data"``: the step runs per-replica inside shard_map —
+        BN normalizes with **per-replica** statistics (torch-DDP-default
+        semantics, the reference's single-GPU behavior extended); gradients,
+        metrics, and stored running stats are pmean'd over the axis.
+        """
         cfg = self.config
         geo = cfg.geometric_info.name
         step = state.step + 1  # 1-based, reference iteration semantics
         kstep = prng.for_step(key, step)
+        if axis_name is not None:
+            # diversify per-replica RNG draws (fakes, noise) while keeping
+            # shared decisions (t_rand, gating) on the unfolded key
+            klocal = jax.random.fold_in(kstep, jax.lax.axis_index(axis_name))
+        else:
+            klocal = kstep
+
+        def pmean(x):
+            return jax.lax.pmean(x, axis_name) if axis_name is not None else x
 
         def ingest(x: jax.Array) -> jax.Array:
             # uint8 batches arrive raw from the host (4x less transfer) and
@@ -244,7 +265,7 @@ class DCVGAN:
             return jax.lax.dynamic_index_in_dim(x, t_rand, axis=1, keepdims=False)
 
         # ------------------------------------------------ phase discriminator
-        kd = prng.named(kstep, "d_fake")
+        kd = prng.named(klocal, "d_fake")
         xg_fake = self.ggen.apply(
             {"params": state.ggen.params, "batch_stats": state.ggen.batch_stats},
             b,
@@ -289,12 +310,12 @@ class DCVGAN:
             for name, module, params, stats, is_frame in specs:
                 y_real, mut = critic_apply(
                     module, params, stats, xg_real, xc_real,
-                    prng.named(prng.named(kstep, f"{name}_noise"), "d_fake"),
+                    prng.named(prng.named(klocal, f"{name}_noise"), "d_fake"),
                     is_frame,
                 )
                 y_fake, mut = critic_apply(
                     module, params, mut["batch_stats"], xg_fake, xc_fake,
-                    prng.named(prng.named(kstep, f"{name}_noise"), "g_fake"),
+                    prng.named(prng.named(klocal, f"{name}_noise"), "g_fake"),
                     is_frame,
                 )
                 losses[name] = self.loss.dis(y_real, y_fake)
@@ -304,6 +325,9 @@ class DCVGAN:
 
         d_params = (state.idis.params, state.vdis.params, state.gdis.params)
         d_grads, (d_losses, d_stats) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+        d_grads = pmean(d_grads)
+        d_stats = pmean(d_stats)
+        d_losses = pmean(d_losses)
 
         do_d = (step % cfg.num_gen_update) == 0
 
@@ -331,18 +355,19 @@ class DCVGAN:
         new_gdis = gated_update(state.gdis, d_grads[2], self.tx["gdis"], do_d, d_stats["gdis"])
 
         # ---------------------------------------------------- phase generator
-        kg = prng.named(kstep, "g_fake")
+        kg = prng.named(klocal, "g_fake")
 
-        def g_loss_fn(g_params):
-            ggp, cgp = g_params
-            xg_f, gg_mut = self.ggen.apply(
+        def ggen_fwd(ggp):
+            return self.ggen.apply(
                 {"params": ggp, "batch_stats": state.ggen.batch_stats},
                 b,
                 train=True,
                 rngs={"latent": prng.named(kg, "ggen_motion")},
                 mutable=["batch_stats"],
             )
-            xc_f, cg_mut = self.cgen.apply(
+
+        def cgen_fwd(cgp, xg_f):
+            return self.cgen.apply(
                 {"params": cgp, "batch_stats": state.cgen.batch_stats},
                 xg_f,
                 train=True,
@@ -353,6 +378,17 @@ class DCVGAN:
                 mutable=["batch_stats"],
                 method=ColorVideoGenerator.forward_videos,
             )
+
+        if cfg.trainer.remat:
+            # recompute generator activations in the backward pass instead
+            # of keeping them resident (HBM-for-FLOPs trade)
+            ggen_fwd = jax.checkpoint(ggen_fwd)
+            cgen_fwd = jax.checkpoint(cgen_fwd)
+
+        def g_loss_fn(g_params):
+            ggp, cgp = g_params
+            xg_f, gg_mut = ggen_fwd(ggp)
+            xc_f, cg_mut = cgen_fwd(cgp, xg_f)
             # critics: *updated* D params; train-mode batch stats, not persisted
             y_i = self.idis.apply(
                 {"params": new_idis.params, "batch_stats": new_idis.batch_stats},
@@ -379,6 +415,9 @@ class DCVGAN:
         g_grads, (loss_gen, (gg_stats, cg_stats)) = _grad_with_value(
             g_loss_fn, g_params
         )
+        g_grads = pmean(g_grads)
+        gg_stats, cg_stats = pmean(gg_stats), pmean(cg_stats)
+        loss_gen = pmean(loss_gen)
 
         do_g = (step % cfg.num_dis_update) == 0
         ggen_steps = 2 if cfg.trainer.ggen_double_step else 1
@@ -408,6 +447,28 @@ class DCVGAN:
     def jitted_train_step(self):
         donate = (0,) if self.config.trainer.donate_state else ()
         return jax.jit(self.train_step, donate_argnums=donate)
+
+    def sharded_train_step(self, mesh):
+        """Per-replica-BN variant: the step runs inside shard_map over the
+        mesh ``data`` axis (``sync_batchnorm: false``). BatchNorm normalizes
+        with local-shard statistics; gradients/metrics/stored running stats
+        are pmean'd, so parameters remain replica-identical."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from dcvgan_tpu.parallel.mesh import DATA_AXIS
+
+        def local(state, batch, key):
+            return self.train_step(state, batch, key, axis_name=DATA_AXIS)
+
+        mapped = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P()),
+        )
+        donate = (0,) if self.config.trainer.donate_state else ()
+        return jax.jit(mapped, donate_argnums=donate)
 
 
 def _grad_with_value(loss_fn, params):

@@ -174,7 +174,13 @@ class Trainer:
         if cfg.trainer.profile:
             jax.profiler.start_trace(str(self.run_dir / "profile"))
 
-        step_fn = self.gan.jitted_train_step
+        # BN-semantics switch (SURVEY.md §2.5): global-batch statistics under
+        # plain jit (sync BN, default) vs per-replica statistics via
+        # shard_map.
+        if cfg.trainer.sync_batchnorm:
+            step_fn = self.gan.jitted_train_step
+        else:
+            step_fn = self.gan.sharded_train_step(self.mesh)
         pending: List[Dict[str, jax.Array]] = []
         t_last_flush = time.time()
         iters_since_flush = 0

@@ -440,3 +440,37 @@ def test_import_torch_cli_roundtrip(tmp_path):
     assert xg.shape == (2, 16, 64, 64, 1)
     assert xc.shape == (2, 16, 64, 64, 3)
     assert np.isfinite(np.asarray(xc)).all()
+
+
+def test_import_structure_at_flagship_scale():
+    """Weight-port tree structure matches at full mug-depth sizes (ngf=64)."""
+    import jax
+
+    from dcvgan_tpu.config import load_config
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = load_config("configs/mug-depth.yml")
+    gan = DCVGAN(cfg)
+    state = gan.init_state(jax.random.key(0))
+
+    models = {
+        "ggen": TorchGGen(cfg.ggen.dim_z_content, cfg.ggen.dim_z_motion, 1, cfg.ggen.ngf),
+        "cgen": TorchCGen(1, cfg.cgen.dim_z_color, cfg.cgen.ngf),
+        "idis": TorchIDis(1, 3, cfg.idis.ndf),
+        "vdis": TorchVDis(1, 3, cfg.vdis.ndf),
+        "gdis": TorchGDis(1, cfg.gdis.ndf),
+    }
+    converters = {
+        "ggen": ggen_from_torch, "cgen": cgen_from_torch,
+        "idis": idis_from_torch, "vdis": vdis_from_torch,
+        "gdis": gdis_from_torch,
+    }
+    for name, tmodel in models.items():
+        params, stats = converters[name](tmodel.state_dict())
+        ours = getattr(state, name)
+        got_shapes = jax.tree.map(lambda x: tuple(x.shape), params)
+        want_shapes = jax.tree.map(lambda x: tuple(x.shape), ours.params)
+        assert got_shapes == want_shapes, name
+        got_stats = jax.tree.map(lambda x: tuple(x.shape), stats)
+        want_stats = jax.tree.map(lambda x: tuple(x.shape), ours.batch_stats)
+        assert got_stats == want_stats, name

@@ -192,3 +192,20 @@ def test_bf16_step_finite():
         assert np.isfinite(float(v)), k
     # params remain f32
     assert jax.tree.leaves(state0.ggen.params)[0].dtype == jnp.float32
+
+
+def test_remat_preserves_losses():
+    """jax.checkpoint on the generators is semantics-preserving."""
+    batch = fake_batch()
+    key = prng.base_key(0)
+    base = DCVGAN(tiny_config())
+    s0 = base.init_state(prng.base_key(0))
+    _, m_base = base.jitted_train_step(s0, batch, key)
+    rm = DCVGAN(
+        tiny_config(trainer={"precision": "float32", "donate_state": False,
+                             "remat": True})
+    )
+    s1 = rm.init_state(prng.base_key(0))
+    _, m_rm = rm.jitted_train_step(s1, batch, key)
+    for k in m_base:
+        assert float(m_base[k]) == pytest.approx(float(m_rm[k]), rel=1e-6), k
