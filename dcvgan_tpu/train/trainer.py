@@ -184,6 +184,9 @@ class Trainer:
         pending: List[Dict[str, jax.Array]] = []
         t_last_flush = time.time()
         iters_since_flush = 0
+        # host-side iteration mirror: fetching state.step each iteration
+        # would force a device sync per step and serialize dispatch
+        iteration = int(self.state.step)
 
         try:
             for _ in range(self.epoch, cfg.n_epochs):
@@ -195,7 +198,7 @@ class Trainer:
                     )
                     pending.append(metrics)
                     iters_since_flush += 1
-                    iteration = int(self.state.step)
+                    iteration += 1
 
                     if iteration % cfg.snapshot_interval == 0:
                         self.ckpt.save(self.state)

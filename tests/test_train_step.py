@@ -106,10 +106,6 @@ def test_update_ratio_gating():
             jax.tree.leaves(getattr(state1, name).params),
         ):
             np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
-    for b, a in zip(
-        jax.tree.leaves(state0.ggen.params), jax.tree.leaves(state1.ggen.params)
-    ):
-        pass  # existence checked below
     changed = any(
         not np.allclose(b, a)
         for b, a in zip(
