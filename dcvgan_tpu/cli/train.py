@@ -29,6 +29,7 @@ def build_dataset(cfg) -> VideoDataset:
         # uint8 passthrough only affects the uint8 modalities (color and
         # non-surreal depth); float modalities are unaffected.
         raw_uint8=cfg.trainer.device_normalize,
+        cache_decoded=cfg.dataset.cache_decoded,
     )
 
 

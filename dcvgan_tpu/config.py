@@ -148,6 +148,10 @@ class DatasetConfig:
     # Frame-image extension (the reference hardwires "jpg" for real datasets
     # and "png" for the mock fixture, /root/reference/src/dataset.py:71).
     extension: str = "jpg"
+    # Cache decoded uint8 frame stacks in host RAM (one entry per video).
+    # Removes the image-decode hot loop after the first epoch for datasets
+    # that fit memory.
+    cache_decoded: bool = False
 
     def validate(self) -> None:
         if self.n_workers < 0:

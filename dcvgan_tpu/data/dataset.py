@@ -24,6 +24,7 @@ Differences from the reference, by design (TPU-first):
 from __future__ import annotations
 
 import shutil
+import threading
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
@@ -61,6 +62,7 @@ class VideoDataset:
         extension: str = "jpg",
         processed_root: Union[str, Path] = "data/processed",
         raw_uint8: bool = False,
+        cache_decoded: bool = False,
     ):
         root_path = Path(processed_root) / name / mode
         if not root_path.exists():
@@ -103,6 +105,13 @@ class VideoDataset:
         # (color + non-surreal depth); the train step dequantizes on device
         # (ops/dequant.py), quartering host->device transfer bytes.
         self.raw_uint8 = raw_uint8
+        # cache_decoded: keep full decoded uint8 frame stacks in RAM (one
+        # entry per video). Image decode is the host hot loop (SURVEY.md
+        # §3.1 #3); for datasets that fit memory this removes it entirely
+        # after the first epoch. Thread-safe for the loader's worker pool.
+        self.cache_decoded = cache_decoded
+        self._cache: Dict[Tuple[str, int], np.ndarray] = {}
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.video_list)
@@ -128,27 +137,46 @@ class VideoDataset:
         t = int(rng.integers(0, n_frames - self.video_length))
         frames_to_read = range(t, t + self.video_length)
 
-        color_video = self._read_color(path, frames_to_read)
-        geo_video = self._read_geometry(path, frames_to_read)
+        color_video = self._read_color(path, frames_to_read, n_frames)
+        geo_video = self._read_geometry(path, frames_to_read, n_frames)
         return {"color": color_video, self.geometric_info: geo_video}
 
     # ------------------------------------------------------------ modalities
-    def _read_color(self, path: Path, frames: range) -> np.ndarray:
-        placeholder = str(path / "color" / ("{:03d}." + self.ext))
-        video = np.stack([read_img(placeholder.format(i)) for i in frames])
+    def _decode_frames(
+        self, kind: str, path: Path, frames: range, n_frames: int, grayscale: bool
+    ) -> np.ndarray:
+        """Decode the requested window; with cache_decoded, decode the full
+        video once and serve windows from RAM."""
+        placeholder = str(path / kind / ("{:03d}." + self.ext))
+        if not self.cache_decoded:
+            return np.stack(
+                [read_img(placeholder.format(i), grayscale=grayscale) for i in frames]
+            )
+        key = (kind, str(path))
+        video = self._cache.get(key)
+        if video is None:
+            video = np.stack(
+                [
+                    read_img(placeholder.format(i), grayscale=grayscale)
+                    for i in range(n_frames)
+                ]
+            )
+            with self._cache_lock:
+                self._cache[key] = video
+        return video[frames.start : frames.stop]
+
+    def _read_color(self, path: Path, frames: range, n_frames: int) -> np.ndarray:
+        video = self._decode_frames("color", path, frames, n_frames, False)
         if self.raw_uint8:
             return video  # (T, H, W, 3) uint8; device dequantizes
         return native.normalize_u8(video, 127.5, -1.0)  # (T, H, W, 3)
 
-    def _read_geometry(self, path: Path, frames: range) -> np.ndarray:
+    def _read_geometry(self, path: Path, frames: range, n_frames: int) -> np.ndarray:
         gi = self.geometric_info
         if gi == "depth" and self.name == "surreal":
             return self._read_surreal_depth(path, frames)
         if gi == "depth":
-            placeholder = str(path / gi / ("{:03d}." + self.ext))
-            video = np.stack(
-                [read_img(placeholder.format(i), grayscale=True) for i in frames]
-            )
+            video = self._decode_frames(gi, path, frames, n_frames, True)
             if self.raw_uint8:
                 return video  # (T, H, W, 1) uint8; device dequantizes
             return native.normalize_u8(video, 127.5, -1.0)  # (T, H, W, 1)

@@ -189,3 +189,31 @@ def test_resize_modes():
         assert resize_img(img, (16, 16), mode).shape == (16, 16, 3)
     vid = np.zeros((4, 32, 32, 1), np.uint8)
     assert resize_video(vid, (16, 16), "nearest").shape == (4, 16, 16, 1)
+
+
+def test_cache_decoded_identical_and_faster(mock_data_root):
+    import time
+
+    kwargs = dict(
+        name="mock", preprocess_func=None, video_length=LENGTH,
+        image_size=SIZE, geometric_info="depth", extension="png",
+        processed_root=mock_data_root.parent.parent,
+    )
+    plain = VideoDataset(cache_decoded=False, **kwargs)
+    cached = VideoDataset(cache_decoded=True, **kwargs)
+    rng_seed = 5
+    for i in range(len(plain)):
+        a = plain.sample(i, np.random.default_rng(rng_seed))
+        b = cached.sample(i, np.random.default_rng(rng_seed))
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # second epoch over the cached dataset decodes nothing (fast path)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        cached.sample(0, np.random.default_rng(0))
+    cached_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(20):
+        plain.sample(0, np.random.default_rng(0))
+    plain_t = time.perf_counter() - t0
+    assert cached_t < plain_t
