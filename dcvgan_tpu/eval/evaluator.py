@@ -110,11 +110,13 @@ class Evaluator:
         for m in self.metrics:
             if m == "is":
                 scores["is"] = inception_score(probs)
-            elif m == "fid":
-                assert ref_feats is not None, "fid needs ref_dir"
-                scores["fid"] = frechet_distance(feats, ref_feats)
+            elif m in ("fid", "fvd"):
+                assert ref_feats is not None, f"{m} needs ref_dir"
+                scores[m] = frechet_distance(feats, ref_feats)
             elif m == "prd":
                 assert ref_feats is not None, "prd needs ref_dir"
                 prec, rec = prd_curve(ref_feats, feats)
                 scores["prd"], scores["prd_f1_8"] = prd_f_beta(prec, rec)
+            else:
+                raise KeyError(f"unknown metric {m!r}")
         return scores

@@ -95,3 +95,28 @@ def test_synthetic_dataset_generation(tmp_path):
     assert s["color"].min() >= -1 and s["color"].max() <= 1
     # depth is bimodal: near shape / far background
     assert s["depth"].std() > 0.05
+
+
+def test_evaluate_cli(tmp_path):
+    from dcvgan_tpu.io.video import write_videos_parallel
+    from dcvgan_tpu.cli.evaluate import main as eval_main
+    import json, io, contextlib
+
+    gen_dir = tmp_path / "gen"
+    ref_dir = tmp_path / "ref"
+    gen_dir.mkdir(), ref_dir.mkdir()
+    write_videos_parallel(fake_videos(3, 7), [gen_dir / f"{i}.mp4" for i in range(3)])
+    write_videos_parallel(fake_videos(3, 8), [ref_dir / f"{i}.mp4" for i in range(3)])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_main([str(gen_dir), "--ref-dir", str(ref_dir),
+                   "--metrics", "is", "fvd", "--batchsize", "4"])
+    scores = json.loads(buf.getvalue())
+    assert set(scores) == {"is", "fvd"}
+    assert scores["is"] >= 1.0
+
+    # missing --ref-dir for fid errors out cleanly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        eval_main([str(gen_dir), "--metrics", "fid"])
