@@ -16,10 +16,23 @@ from dcvgan_tpu.train.trainer import Trainer
 
 
 def build_dataset(cfg) -> VideoDataset:
+    # Unknown dataset names are still trainable when a preprocessed tree
+    # already exists on disk (the reference's eval() dispatch would die here,
+    # /root/reference/src/train.py:95); only a cold start needs the registry.
+    from pathlib import Path
+
+    try:
+        preprocess_func = get_preprocessor(cfg.dataset.name)
+    except KeyError:
+        processed = Path(cfg.dataset.processed_root) / cfg.dataset.name / "train"
+        if not processed.exists():
+            raise
+        preprocess_func = None
+
     return VideoDataset(
         name=cfg.dataset.name,
         dataset_path=cfg.dataset.path,
-        preprocess_func=get_preprocessor(cfg.dataset.name),
+        preprocess_func=preprocess_func,
         video_length=cfg.video_length,
         image_size=cfg.image_size,
         number_limit=cfg.dataset.number_limit,

@@ -117,7 +117,9 @@ class VideoDataset:
         return len(self.video_list)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        return self.sample(i, np.random.default_rng())
+        # Deterministic per-index crop so bare indexing is reproducible; the
+        # loader drives per-(seed, epoch, batch, position) RNGs for training.
+        return self.sample(i, np.random.default_rng((0xDC, i)))
 
     def sample(
         self, i: int, rng: np.random.Generator

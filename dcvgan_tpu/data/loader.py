@@ -90,6 +90,15 @@ class VideoLoader:
             k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
         }
 
+    def fetch_batch(self, epoch: int) -> Dict[str, np.ndarray]:
+        """Load this host's first batch of ``epoch`` synchronously — no
+        prefetch queue or producer thread. For one-shot consumers (sample
+        logging, eval reals) that only need a single batch."""
+        order = self._epoch_indices(epoch)
+        lo = self.process_index * self.local_batchsize
+        local_idx = order[: self.batchsize][lo : lo + self.local_batchsize]
+        return self._load_batch(local_idx, epoch, 0)
+
     def epoch_iterator(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
         """Yield this host's batches for one epoch, with prefetching."""
         if epoch is None:

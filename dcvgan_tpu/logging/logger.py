@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime
 import enum
 import logging
+import sys
 import time
 from collections import OrderedDict
 from pathlib import Path
@@ -30,6 +31,29 @@ try:
 except Exception:  # pragma: no cover
     SummaryWriter = None
     _HAS_TB = False
+
+
+class _ColorFormatter(logging.Formatter):
+    """Level-colored console lines (the reference uses colorlog with its
+    default palette, /root/reference/src/logger.py:110-116; same colors via
+    raw ANSI since colorlog isn't a dependency here). Colors only when the
+    stream is a tty so piped/captured output stays clean."""
+
+    COLORS = {
+        logging.DEBUG: "\x1b[36m",     # cyan
+        logging.INFO: "\x1b[32m",      # green
+        logging.WARNING: "\x1b[33m",   # yellow
+        logging.ERROR: "\x1b[31m",     # red
+        logging.CRITICAL: "\x1b[1;31m",
+    }
+    RESET = "\x1b[0m"
+
+    def format(self, record: logging.LogRecord) -> str:
+        msg = super().format(record)
+        color = self.COLORS.get(record.levelno)
+        if color:
+            return f"{color}{msg}{self.RESET}"
+        return msg
 
 
 class MetricType(enum.IntEnum):
@@ -85,7 +109,9 @@ class Logger:
         logger.handlers.clear()
         ch = logging.StreamHandler()
         ch.setLevel(logging.DEBUG)
-        ch.setFormatter(logging.Formatter(log_format, datefmt=date_format))
+        use_color = hasattr(sys.stderr, "isatty") and sys.stderr.isatty()
+        formatter_cls = _ColorFormatter if use_color else logging.Formatter
+        ch.setFormatter(formatter_cls(log_format, datefmt=date_format))
         logger.addHandler(ch)
         fh = logging.FileHandler(str(log_file))
         fh.setLevel(logging.DEBUG)

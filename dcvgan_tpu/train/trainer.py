@@ -96,6 +96,16 @@ class Trainer:
     def log_hparams(self) -> None:
         self.logger.tf_log_hparams(flatten_config(self.config))
 
+    def _log_geo_histograms(self, x: np.ndarray, tag: str, step: int) -> None:
+        """Channel-0 histogram under the reference tag
+        (/root/reference/src/trainer.py:134-135,160-161) plus per-channel
+        tags when the rendered geometry has multiple channels (e.g. the
+        HSV-wheel flow rendering)."""
+        self.logger.tf_log_histogram(x[..., 0], tag, step)
+        if x.shape[-1] > 1:
+            for c in range(x.shape[-1]):
+                self.logger.tf_log_histogram(x[..., c], f"{tag}/ch{c}", step)
+
     def log_samples(self, iteration: int) -> None:
         """5×5 grid of geometry|color sample videos + histograms to TB
         (reference log_samples, /root/reference/src/trainer.py:109-169)."""
@@ -103,7 +113,7 @@ class Trainer:
         xg, xc = generate_samples(
             self.gan, self.state, key, self.NUM_LOG, self.NUM_LOG
         )
-        self.logger.tf_log_histogram(xg[..., 0], "geospace_fake", iteration)
+        self._log_geo_histograms(xg, "geospace_fake", iteration)
         self.logger.tf_log_histogram(xc[..., 0], "colorspace_fake", iteration)
         grid_g = make_video_grid(xg, self.ROWS_LOG, self.COLS_LOG)
         grid_c = make_video_grid(xc, self.ROWS_LOG, self.COLS_LOG)
@@ -112,7 +122,7 @@ class Trainer:
 
         # real batch for comparison (dedicated epoch id outside the training
         # sequence so the shuffle is independent but the seed stays valid)
-        real = next(iter(self.loader.epoch_iterator(epoch=2**31 + iteration)))
+        real = self.loader.fetch_batch(epoch=2**31 + iteration)
         n = min(self.NUM_LOG, real["color"].shape[0])
         rows = cols = int(np.sqrt(n))
         if rows * cols >= 1:
@@ -121,7 +131,7 @@ class Trainer:
                 ensure_float_video(real[self.geometric_info][: rows * cols]),
                 self.geometric_info,
             )
-            self.logger.tf_log_histogram(xg_real[..., 0], "geospace_real", iteration)
+            self._log_geo_histograms(xg_real, "geospace_real", iteration)
             self.logger.tf_log_histogram(xc_real[..., 0], "colorspace_real", iteration)
             grid = np.concatenate(
                 [

@@ -217,3 +217,60 @@ def test_cache_decoded_identical_and_faster(mock_data_root):
         plain.sample(0, np.random.default_rng(0))
     plain_t = time.perf_counter() - t0
     assert cached_t < plain_t
+
+
+def test_getitem_deterministic(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    a, b = ds[0], ds[0]
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_fetch_batch_matches_epoch_iterator(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    loader = VideoLoader(ds, batchsize=2, n_workers=2, seed=11)
+    fetched = loader.fetch_batch(epoch=5)
+    streamed = next(iter(loader.epoch_iterator(epoch=5)))
+    for k in fetched:
+        assert fetched[k].shape == streamed[k].shape
+        np.testing.assert_array_equal(fetched[k], streamed[k])
+
+
+def test_fetch_batch_multihost_shards(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    full = VideoLoader(ds, batchsize=2, seed=3)
+    h0 = VideoLoader(ds, batchsize=2, seed=3, process_index=0, process_count=2)
+    h1 = VideoLoader(ds, batchsize=2, seed=3, process_index=1, process_count=2)
+    f = full.fetch_batch(epoch=0)
+    a, b = h0.fetch_batch(epoch=0), h1.fetch_batch(epoch=0)
+    for k in f:
+        np.testing.assert_array_equal(np.concatenate([a[k], b[k]]), f[k])
+
+
+def test_train_cli_registry_fallback(mock_data_root, tmp_path):
+    # Unknown dataset name must still build when a processed tree exists
+    # (VERDICT r1 #10: the reference's eval() dispatch would die here).
+    import shutil
+
+    from dcvgan_tpu.cli.train import build_dataset
+    from dcvgan_tpu.config import ExperimentConfig
+
+    root = tmp_path / "processed"
+    shutil.copytree(mock_data_root, root / "mystery" / "train")
+    cfg = ExperimentConfig.from_dict(
+        {
+            "geometric_info": {"name": "depth", "channel": 1},
+            "dataset": {
+                "name": "mystery",
+                "path": None,
+                "processed_root": str(root),
+                "extension": "png",
+            },
+        }
+    )
+    ds = build_dataset(cfg)
+    assert len(ds) == 3
+
+    cfg.dataset.name = "missing-and-no-tree"
+    with pytest.raises(KeyError):
+        build_dataset(cfg)

@@ -46,3 +46,16 @@ def test_video_logging_accepts_channels_last(tmp_path):
     logger = Logger(tmp_path / "log", tmp_path / "tb")
     video = np.zeros((1, 4, 8, 8, 3), np.uint8)
     logger.tf_log_video(video, "v", 0)  # must not raise
+
+
+def test_color_formatter_wraps_by_level():
+    import logging
+
+    from dcvgan_tpu.logging.logger import _ColorFormatter
+
+    fmt = _ColorFormatter("%(message)s")
+    rec = logging.LogRecord("t", logging.INFO, __file__, 1, "hello", (), None)
+    out = fmt.format(rec)
+    assert out.startswith("\x1b[32m") and out.endswith("\x1b[0m")
+    rec.levelno = logging.ERROR
+    assert fmt.format(rec).startswith("\x1b[31m")
