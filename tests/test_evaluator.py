@@ -113,7 +113,8 @@ def test_evaluate_cli(tmp_path):
         eval_main([str(gen_dir), "--ref-dir", str(ref_dir),
                    "--metrics", "is", "fvd", "--batchsize", "4"])
     scores = json.loads(buf.getvalue())
-    assert set(scores) == {"is", "fvd"}
+    assert set(scores) == {"is", "fvd", "extractor"}
+    assert scores["extractor"].startswith("c3d-seeded/seed=")
     assert scores["is"] >= 1.0
 
     # missing --ref-dir for fid errors out cleanly
