@@ -28,15 +28,61 @@ DATA_AXIS = "data"
 TIME_AXIS = "time"
 
 
+def _multiprocess_launch_detected() -> bool:
+    """True when env vars / cluster metadata indicate a multi-process launch
+    jax.distributed can auto-configure from. Reads ONLY the environment —
+    never the backend (which must not be initialized yet)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    try:  # recognized cluster envs: TPU pod metadata, SLURM, MPI, k8s
+        from jax._src import clusters
+
+        return any(
+            c.is_env_present() for c in clusters.ClusterEnv._cluster_types
+        )
+    except Exception:  # pragma: no cover - private-API drift
+        return False
+
+
 def multihost_init() -> None:
-    """Initialize multi-host JAX when launched under a multi-process runtime
-    (controlled by standard JAX env vars / TPU metadata). Safe no-op for
-    single-process runs."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator:
-        jax.distributed.initialize()
+    """Initialize multi-host JAX when launched under a multi-process runtime.
+
+    Must run before ANY backend-initializing call (``jax.devices()``,
+    ``jax.process_count()``, array creation, ...) — ``jax.distributed
+    .initialize()`` is a no-op-too-late after backend init, which is why the
+    detection above reads only the environment. Safe no-op for
+    single-process runs and when already initialized.
+    """
+    if jax.distributed.is_initialized():
+        return
+    if not _multiprocess_launch_detected():
+        return
+    if xla_bridge_initialized():
+        raise RuntimeError(
+            "multihost_init() called after the JAX backend was initialized; "
+            "call it first (before any jax.devices()/array use) or launch "
+            "single-process"
+        )
+    # Launcher-agnostic explicit envs (for environments without recognized
+    # cluster metadata): JAX_NUM_PROCESSES + JAX_PROCESS_ID alongside JAX's
+    # standard JAX_COORDINATOR_ADDRESS. Cluster auto-detection fills
+    # anything left unset.
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
+
+
+def xla_bridge_initialized() -> bool:
+    """Whether any XLA backend has been created in this process."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:  # pragma: no cover - private-API drift
+        return False
 
 
 def create_mesh(
