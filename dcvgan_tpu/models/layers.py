@@ -90,6 +90,70 @@ def batch_norm(
     )
 
 
+class MaskedSyncBatchNorm(nn.Module):
+    """BatchNorm over (B, T, H, W) per channel with an explicit per-frame
+    validity mask and cross-shard statistics.
+
+    Used by the time-sharded critics (``time_axis`` set on the module):
+    time-valid 3D convs leave trailing frames invalid (zero-masked), and the
+    statistics must be computed over exactly the frames the *unsharded*
+    critic would see — a masked mean/var, psum'd over ``axes`` (the mesh
+    ``time`` axis plus, for global-batch semantics, ``data``).
+
+    Parameter/stat names and semantics match ``nn.BatchNorm`` (momentum 0.9,
+    eps 1e-5, biased batch variance in both normalization and running
+    stats), so the same checkpoint tree drives both code paths.
+    """
+
+    axes: Tuple[str, ...]
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    torch_default_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask_t: jax.Array, train: bool) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.initializers.ones if self.torch_default_init else bn2d_scale_init,
+            (c,),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if train:
+            xf = x.astype(jnp.float32)
+            m = mask_t.astype(jnp.float32)[None, :, None, None, None]
+            b, _, h, w, _ = x.shape
+            count = b * h * w * jnp.sum(mask_t.astype(jnp.float32))
+            s1 = jnp.sum(xf * m, axis=(0, 1, 2, 3))
+            s2 = jnp.sum(jnp.square(xf) * m, axis=(0, 1, 2, 3))
+            for ax in self.axes:
+                count = jax.lax.psum(count, ax)
+                s1 = jax.lax.psum(s1, ax)
+                s2 = jax.lax.psum(s2, ax)
+            mean = s1 / count
+            var = s2 / count - jnp.square(mean)  # biased, like nn.BatchNorm
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=negative_slope)
 

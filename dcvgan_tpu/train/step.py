@@ -140,6 +140,16 @@ class DCVGAN:
             for name in MODEL_NAMES
         }
 
+        if config.mesh.time > 1:
+            # time-sharded twins of the 3D critics: same parameter trees,
+            # forward runs inside shard_map over (data, time) with halo
+            # exchange + masked sync BN (SURVEY.md §5.7, VERDICT r1 #5)
+            from dcvgan_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+
+            ts_kwargs = dict(time_axis=TIME_AXIS, bn_sync_axes=(DATA_AXIS,))
+            self.vdis_ts = self.vdis.clone(**ts_kwargs)
+            self.gdis_ts = self.gdis.clone(**ts_kwargs)
+
     # ----------------------------------------------------------------- init
     def init_state(self, key: jax.Array) -> GANState:
         """Initialize all five models' params/stats and optimizer states."""
@@ -215,6 +225,67 @@ class DCVGAN:
         )
         return xg, xc
 
+    # --------------------------------------------------- time-sharded critics
+    def _time_sharded_apply(self, module_ts, mesh):
+        """Wrap a time-sharded critic in shard_map over (data, time): videos
+        sharded on batch x time, params replicated, noise RNG folded per
+        shard, BN stats psum'd inside (masked sync BN) so the returned
+        batch_stats are replica-identical."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from dcvgan_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+
+        def local(params, stats, xg, xc, nkey):
+            shard_id = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
+                TIME_AXIS
+            ) + jax.lax.axis_index(TIME_AXIS)
+            out, mut = module_ts.apply(
+                {"params": params, "batch_stats": stats},
+                xg,
+                xc,
+                rngs={"noise": jax.random.fold_in(nkey, shard_id)},
+                mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS, TIME_AXIS), P(DATA_AXIS, TIME_AXIS), P()),
+            out_specs=(P(DATA_AXIS), P()),
+        )
+
+    def _critic_appliers(self, time_mesh):
+        """name -> apply(params, stats, xg, xc, noise_key) -> (logits, stats).
+
+        Plain module.apply by default; vdis/gdis switch to the shard_map
+        time-sharded twins when a time mesh is active.
+        """
+
+        def plain(module):
+            def apply(params, stats, xg, xc, nkey):
+                out, mut = module.apply(
+                    {"params": params, "batch_stats": stats},
+                    xg,
+                    xc,
+                    rngs={"noise": nkey},
+                    mutable=["batch_stats"],
+                )
+                return out, mut["batch_stats"]
+
+            return apply
+
+        appliers = {
+            "idis": plain(self.idis),
+            "vdis": plain(self.vdis),
+            "gdis": plain(self.gdis),
+        }
+        if time_mesh is not None:
+            appliers["vdis"] = self._time_sharded_apply(self.vdis_ts, time_mesh)
+            appliers["gdis"] = self._time_sharded_apply(self.gdis_ts, time_mesh)
+        return appliers
+
     # ------------------------------------------------------------ train step
     def train_step(
         self,
@@ -222,6 +293,7 @@ class DCVGAN:
         batch: Dict[str, jax.Array],
         key: jax.Array,
         axis_name: str | None = None,
+        time_mesh=None,
     ) -> Tuple[GANState, Dict[str, jax.Array]]:
         """One full GAN iteration (see module docstring). Jit me.
 
@@ -287,39 +359,35 @@ class DCVGAN:
         xg_fake = jax.lax.stop_gradient(xg_fake)
         xc_fake = jax.lax.stop_gradient(xc_fake)
 
-        def critic_apply(module, mstate_params, stats, xg, xc, nkey, is_frame):
+        appliers = self._critic_appliers(time_mesh)
+
+        def critic_apply(name, params, stats, xg, xc, nkey, is_frame):
             x1 = frame(xg) if is_frame else xg
             x2 = frame(xc) if is_frame else xc
-            return module.apply(
-                {"params": mstate_params, "batch_stats": stats},
-                x1,
-                x2,
-                rngs={"noise": nkey},
-                mutable=["batch_stats"],
-            )
+            return appliers[name](params, stats, x1, x2, nkey)
 
         def d_loss_fn(d_params):
             ip, vp, gp = d_params
             losses = {}
             new_stats = {}
             specs = [
-                ("idis", self.idis, ip, state.idis.batch_stats, True),
-                ("vdis", self.vdis, vp, state.vdis.batch_stats, False),
-                ("gdis", self.gdis, gp, state.gdis.batch_stats, False),
+                ("idis", ip, state.idis.batch_stats, True),
+                ("vdis", vp, state.vdis.batch_stats, False),
+                ("gdis", gp, state.gdis.batch_stats, False),
             ]
-            for name, module, params, stats, is_frame in specs:
-                y_real, mut = critic_apply(
-                    module, params, stats, xg_real, xc_real,
+            for name, params, stats, is_frame in specs:
+                y_real, stats = critic_apply(
+                    name, params, stats, xg_real, xc_real,
                     prng.named(prng.named(klocal, f"{name}_noise"), "d_fake"),
                     is_frame,
                 )
-                y_fake, mut = critic_apply(
-                    module, params, mut["batch_stats"], xg_fake, xc_fake,
+                y_fake, stats = critic_apply(
+                    name, params, stats, xg_fake, xc_fake,
                     prng.named(prng.named(klocal, f"{name}_noise"), "g_fake"),
                     is_frame,
                 )
                 losses[name] = self.loss.dis(y_real, y_fake)
-                new_stats[name] = mut["batch_stats"]
+                new_stats[name] = stats
             total = losses["idis"] + losses["vdis"] + losses["gdis"]
             return total, (losses, new_stats)
 
@@ -390,24 +458,18 @@ class DCVGAN:
             xg_f, gg_mut = ggen_fwd(ggp)
             xc_f, cg_mut = cgen_fwd(cgp, xg_f)
             # critics: *updated* D params; train-mode batch stats, not persisted
-            y_i = self.idis.apply(
-                {"params": new_idis.params, "batch_stats": new_idis.batch_stats},
-                frame(xg_f), frame(xc_f),
-                rngs={"noise": prng.named(kg, "idis_noise")},
-                mutable=["batch_stats"],
-            )[0]
-            y_v = self.vdis.apply(
-                {"params": new_vdis.params, "batch_stats": new_vdis.batch_stats},
-                xg_f, xc_f,
-                rngs={"noise": prng.named(kg, "vdis_noise")},
-                mutable=["batch_stats"],
-            )[0]
-            y_g = self.gdis.apply(
-                {"params": new_gdis.params, "batch_stats": new_gdis.batch_stats},
-                xg_f, xc_f,
-                rngs={"noise": prng.named(kg, "gdis_noise")},
-                mutable=["batch_stats"],
-            )[0]
+            y_i, _ = appliers["idis"](
+                new_idis.params, new_idis.batch_stats,
+                frame(xg_f), frame(xc_f), prng.named(kg, "idis_noise"),
+            )
+            y_v, _ = appliers["vdis"](
+                new_vdis.params, new_vdis.batch_stats,
+                xg_f, xc_f, prng.named(kg, "vdis_noise"),
+            )
+            y_g, _ = appliers["gdis"](
+                new_gdis.params, new_gdis.batch_stats,
+                xg_f, xc_f, prng.named(kg, "gdis_noise"),
+            )
             loss_gen = self.loss.gen(y_i, y_v, y_g)
             return loss_gen, (gg_mut["batch_stats"], cg_mut["batch_stats"])
 
@@ -469,6 +531,23 @@ class DCVGAN:
         )
         donate = (0,) if self.config.trainer.donate_state else ()
         return jax.jit(mapped, donate_argnums=donate)
+
+    def time_sharded_train_step(self, mesh):
+        """Plain-jit step with the 3D critics time-sharded over the mesh
+        ``time`` axis (``mesh.time > 1``): halo-exchange convs + masked sync
+        BN inside shard_map, numerically matching the unsharded critics on
+        the valid frames. Requires sync_batchnorm (global-batch BN) — the
+        per-replica shard_map path would need nested shard_maps."""
+        if not self.config.trainer.sync_batchnorm:
+            raise ValueError(
+                "mesh.time > 1 requires trainer.sync_batchnorm=true"
+            )
+        donate = (0,) if self.config.trainer.donate_state else ()
+
+        def step(state, batch, key):
+            return self.train_step(state, batch, key, time_mesh=mesh)
+
+        return jax.jit(step, donate_argnums=donate)
 
 
 def _grad_with_value(loss_fn, params):

@@ -191,8 +191,10 @@ class Trainer:
 
         # BN-semantics switch (SURVEY.md §2.5): global-batch statistics under
         # plain jit (sync BN, default) vs per-replica statistics via
-        # shard_map.
-        if cfg.trainer.sync_batchnorm:
+        # shard_map. mesh.time > 1 time-shards the 3D critics.
+        if cfg.mesh.time > 1:
+            step_fn = self.gan.time_sharded_train_step(self.mesh)
+        elif cfg.trainer.sync_batchnorm:
             step_fn = self.gan.jitted_train_step
         else:
             step_fn = self.gan.sharded_train_step(self.mesh)

@@ -68,3 +68,114 @@ def test_halo_too_large_raises(devices):
     x, k = make_inputs(t=16)  # t_local=2 < kt-1=3
     with pytest.raises(ValueError, match="halo"):
         time_sharded_conv3d(x, k, mesh)
+
+
+# ---------------------------------------------------------------------------
+# time-sharded critics wired into the train step (VERDICT r1 #5)
+
+def _ts_config(time: int):
+    from dcvgan_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "batchsize": 2,
+            "video_length": 16,
+            "image_size": 32,
+            "geometric_info": {"name": "depth", "channel": 1},
+            "ggen": {"dim_z_content": 8, "dim_z_motion": 4, "ngf": 8},
+            "cgen": {"dim_z_color": 4, "ngf": 8},
+            "idis": {"use_noise": True, "noise_sigma": 0.1, "ndf": 8},
+            "vdis": {"use_noise": False, "ndf": 8},
+            "gdis": {"use_noise": False, "ndf": 8},
+            "trainer": {"precision": "float32", "donate_state": False},
+            "mesh": {"data": 2, "time": time},
+        }
+    )
+    cfg.validate()
+    return cfg
+
+
+def test_time_sharded_critic_forward_matches_unsharded(devices):
+    """vdis/gdis logits with the time axis sharded 4-way equal the plain
+    forward on the same params (valid frames only, masked sync BN)."""
+    from dcvgan_tpu import prng
+    from dcvgan_tpu.parallel.mesh import create_mesh
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = _ts_config(time=4)
+    gan = DCVGAN(cfg)
+    mesh = create_mesh(cfg)
+    state = gan.init_state(prng.base_key(0))
+
+    rng = np.random.default_rng(3)
+    xg = jnp.asarray(rng.uniform(-1, 1, (2, 16, 32, 32, 1)).astype(np.float32))
+    xc = jnp.asarray(rng.uniform(-1, 1, (2, 16, 32, 32, 3)).astype(np.float32))
+    nkey = prng.base_key(9)
+
+    for name, module in [("vdis", gan.vdis), ("gdis", gan.gdis)]:
+        mstate = getattr(state, name)
+        y_plain, mut = module.apply(
+            {"params": mstate.params, "batch_stats": mstate.batch_stats},
+            xg, xc, rngs={"noise": nkey}, mutable=["batch_stats"],
+        )
+        ts_apply = gan._time_sharded_apply(getattr(gan, f"{name}_ts"), mesh)
+        y_ts, stats_ts = jax.jit(ts_apply)(
+            mstate.params, mstate.batch_stats, xg, xc, nkey
+        )
+        assert y_ts.shape == y_plain.shape, name
+        np.testing.assert_allclose(
+            np.asarray(y_ts), np.asarray(y_plain), atol=2e-4, rtol=1e-3,
+            err_msg=name,
+        )
+        # running stats advance identically (masked sync BN == plain BN)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+            ),
+            stats_ts, mut["batch_stats"],
+        )
+
+
+def test_time_sharded_train_step_matches_unsharded(devices):
+    """A full train step with mesh {data: 2, time: 4} produces the same
+    losses and parameters as the unsharded step."""
+    from dcvgan_tpu import prng
+    from dcvgan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = _ts_config(time=4)
+    gan = DCVGAN(cfg)
+    mesh = create_mesh(cfg)
+    state = gan.init_state(prng.base_key(0))
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "color": rng.uniform(-1, 1, (2, 16, 32, 32, 3)).astype(np.float32),
+        "depth": rng.uniform(-1, 1, (2, 16, 32, 32, 1)).astype(np.float32),
+    }
+    key = prng.base_key(5)
+
+    s_plain, m_plain = gan.jitted_train_step(state, jax.device_put(batch), key)
+    ts_step = gan.time_sharded_train_step(mesh)
+    s_ts, m_ts = ts_step(replicate(state, mesh), shard_batch(batch, mesh), key)
+
+    for k in m_plain:
+        assert float(m_plain[k]) == pytest.approx(float(m_ts[k]), rel=2e-4), k
+    for name in ("vdis", "gdis", "ggen"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2
+            ),
+            getattr(s_plain, name).params, getattr(s_ts, name).params,
+        )
+
+
+def test_time_sharding_requires_sync_batchnorm(devices):
+    from dcvgan_tpu.parallel.mesh import create_mesh
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = _ts_config(time=2)
+    cfg.trainer.sync_batchnorm = False
+    gan = DCVGAN(cfg)
+    with pytest.raises(ValueError, match="sync_batchnorm"):
+        gan.time_sharded_train_step(create_mesh(cfg))
