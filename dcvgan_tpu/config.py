@@ -224,6 +224,21 @@ class TrainerConfig:
     # less host->device transfer. Applies to uint8 modalities (color +
     # non-surreal depth).
     device_normalize: bool = True
+    # Perf opt-in, off the parity path: run the G-phase critic forwards
+    # with frozen (running) BatchNorm statistics — the stats the D phase
+    # just updated — instead of recomputing batch statistics. Removes the
+    # critic BN stat reductions from the G-phase forward+backward. Measured
+    # wall-clock-neutral at b=20/64 (PERFORMANCE.md); kept as a semantics
+    # switch. Default false = reference semantics.
+    critic_stat_reuse: bool = False
+    # Perf opt-in, off the parity path: draw ONE set of fake videos per
+    # iteration and share it between the D phase (stop-gradient) and the G
+    # phase (differentiable via jax.vjp), instead of the reference's fresh
+    # generator forward per phase (/root/reference/src/trainer.py:304-305,
+    # 344-349). Saves a full ggen+cgen forward per step. The G loss then
+    # scores the same samples the D update just saw — a documented dynamics
+    # delta. Default false = reference semantics.
+    shared_fakes: bool = False
 
 
 @dataclass

@@ -104,8 +104,12 @@ class ImageDiscriminator(nn.Module):
     def __call__(
         self, xg: jax.Array, xc: jax.Array, train: bool = True
     ) -> jax.Array:
-        """(B, H, W, ch_g), (B, H, W, ch_c) -> logits (B, 4, 4)."""
-        del train  # noise is a static flag in the reference, not train-gated
+        """(B, H, W, ch_g), (B, H, W, ch_c) -> logits (B, 4, 4).
+
+        ``train`` gates only BatchNorm statistics (batch vs running); noise
+        is a static flag in the reference, not train-gated. Training always
+        passes True except under ``trainer.critic_stat_reuse``.
+        """
         noise = lambda name: Noise(self.use_noise, self.noise_sigma, self.dtype, name=name)
 
         hg = noise("noise_g")(xg)
@@ -121,12 +125,12 @@ class ImageDiscriminator(nn.Module):
 
         h = noise("noise_1")(h)
         h = same_pad_conv(self.ndf * 2, 4, 2, self.dtype, "conv_1")(h)
-        h = batch_norm(True, self.dtype, "bn_1")(h)
+        h = batch_norm(train, self.dtype, "bn_1")(h)
         h = leaky_relu(h)
 
         h = noise("noise_2")(h)
         h = same_pad_conv(self.ndf * 4, 4, 2, self.dtype, "conv_2")(h)
-        h = batch_norm(True, self.dtype, "bn_2")(h)
+        h = batch_norm(train, self.dtype, "bn_2")(h)
         h = leaky_relu(h)
 
         h = noise("noise_3")(h)
@@ -161,7 +165,6 @@ class VideoDiscriminator(nn.Module):
 
         if self.time_axis is not None:
             return self._time_sharded(xg, xc, conv3, noise, train)
-        del train
 
         # stems have no Noise layers (reference :180-192)
         hg = leaky_relu(conv3(self.ndf // 2, "conv_g")(xg))
@@ -170,12 +173,12 @@ class VideoDiscriminator(nn.Module):
 
         h = noise("noise_1")(h)
         h = conv3(self.ndf * 2, "conv_1")(h)
-        h = batch_norm(True, self.dtype, "bn_1", torch_default_init=True)(h)
+        h = batch_norm(train, self.dtype, "bn_1", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_2")(h)
         h = conv3(self.ndf * 4, "conv_2")(h)
-        h = batch_norm(True, self.dtype, "bn_2", torch_default_init=True)(h)
+        h = batch_norm(train, self.dtype, "bn_2", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_3")(h)
@@ -238,24 +241,23 @@ class GradientDiscriminator(nn.Module):
 
         if self.time_axis is not None:
             return self._time_sharded(xg, conv3, noise, train)
-        del train
 
         # temporal gradient (reference :330-331)
         h = xg[:, 1:] - xg[:, :-1]
 
         h = noise("noise_1")(h)
         h = conv3(self.ndf, "conv_1")(h)
-        h = batch_norm(True, self.dtype, "bn_1", torch_default_init=True)(h)
+        h = batch_norm(train, self.dtype, "bn_1", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_2")(h)
         h = conv3(self.ndf * 2, "conv_2")(h)
-        h = batch_norm(True, self.dtype, "bn_2", torch_default_init=True)(h)
+        h = batch_norm(train, self.dtype, "bn_2", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_3")(h)
         h = conv3(self.ndf * 4, "conv_3")(h)
-        h = batch_norm(True, self.dtype, "bn_3", torch_default_init=True)(h)
+        h = batch_norm(train, self.dtype, "bn_3", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_4")(h)

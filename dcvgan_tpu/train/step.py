@@ -236,25 +236,32 @@ class DCVGAN:
 
         from dcvgan_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
 
-        def local(params, stats, xg, xc, nkey):
-            shard_id = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
-                TIME_AXIS
-            ) + jax.lax.axis_index(TIME_AXIS)
-            out, mut = module_ts.apply(
-                {"params": params, "batch_stats": stats},
-                xg,
-                xc,
-                rngs={"noise": jax.random.fold_in(nkey, shard_id)},
-                mutable=["batch_stats"],
-            )
-            return out, mut["batch_stats"]
+        def apply(params, stats, xg, xc, nkey, train=True):
+            def local(params, stats, xg, xc, nkey):
+                shard_id = jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(
+                    TIME_AXIS
+                ) + jax.lax.axis_index(TIME_AXIS)
+                out, mut = module_ts.apply(
+                    {"params": params, "batch_stats": stats},
+                    xg,
+                    xc,
+                    train,
+                    rngs={"noise": jax.random.fold_in(nkey, shard_id)},
+                    mutable=["batch_stats"],
+                )
+                return out, mut["batch_stats"]
 
-        return shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(), P(), P(DATA_AXIS, TIME_AXIS), P(DATA_AXIS, TIME_AXIS), P()),
-            out_specs=(P(DATA_AXIS), P()),
-        )
+            mapped = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P(DATA_AXIS, TIME_AXIS), P(DATA_AXIS, TIME_AXIS), P(),
+                ),
+                out_specs=(P(DATA_AXIS), P()),
+            )
+            return mapped(params, stats, xg, xc, nkey)
+
+        return apply
 
     def _critic_appliers(self, time_mesh):
         """name -> apply(params, stats, xg, xc, noise_key) -> (logits, stats).
@@ -264,11 +271,12 @@ class DCVGAN:
         """
 
         def plain(module):
-            def apply(params, stats, xg, xc, nkey):
+            def apply(params, stats, xg, xc, nkey, train=True):
                 out, mut = module.apply(
                     {"params": params, "batch_stats": stats},
                     xg,
                     xc,
+                    train,
                     rngs={"noise": nkey},
                     mutable=["batch_stats"],
                 )
@@ -336,28 +344,82 @@ class DCVGAN:
         def frame(x: jax.Array) -> jax.Array:
             return jax.lax.dynamic_index_in_dim(x, t_rand, axis=1, keepdims=False)
 
+        # ---------------------------------------------- generator forward defs
+        kg = prng.named(klocal, "g_fake")
+
+        def ggen_fwd(ggp):
+            return self.ggen.apply(
+                {"params": ggp, "batch_stats": state.ggen.batch_stats},
+                b,
+                train=True,
+                rngs={"latent": prng.named(kg, "ggen_motion")},
+                mutable=["batch_stats"],
+            )
+
+        def cgen_fwd(cgp, xg_f):
+            return self.cgen.apply(
+                {"params": cgp, "batch_stats": state.cgen.batch_stats},
+                xg_f,
+                train=True,
+                rngs={
+                    "latent": prng.named(kg, "cgen_color"),
+                    "dropout": prng.named(kg, "cgen_dropout"),
+                },
+                mutable=["batch_stats"],
+                method=ColorVideoGenerator.forward_videos,
+            )
+
+        if cfg.trainer.remat:
+            # recompute generator activations in the backward pass instead
+            # of keeping them resident (HBM-for-FLOPs trade)
+            ggen_fwd = jax.checkpoint(ggen_fwd)
+            cgen_fwd = jax.checkpoint(cgen_fwd)
+
         # ------------------------------------------------ phase discriminator
-        kd = prng.named(klocal, "d_fake")
-        xg_fake = self.ggen.apply(
-            {"params": state.ggen.params, "batch_stats": state.ggen.batch_stats},
-            b,
-            train=True,
-            rngs={"latent": prng.named(kd, "ggen_motion")},
-            mutable=["batch_stats"],
-        )[0]
-        xc_fake = self.cgen.apply(
-            {"params": state.cgen.params, "batch_stats": state.cgen.batch_stats},
-            xg_fake,
-            train=True,
-            rngs={
-                "latent": prng.named(kd, "cgen_color"),
-                "dropout": prng.named(kd, "cgen_dropout"),
-            },
-            mutable=["batch_stats"],
-            method=ColorVideoGenerator.forward_videos,
-        )[0]
-        xg_fake = jax.lax.stop_gradient(xg_fake)
-        xc_fake = jax.lax.stop_gradient(xc_fake)
+        shared = cfg.trainer.shared_fakes
+        gen_vjp = fakes_g = shared_stats = None
+        if shared:
+            # one generator forward per step: linearize it now so the G
+            # phase can pull gradients back through the same samples
+            def gen_forward(g_params):
+                ggp, cgp = g_params
+                xg_f, gg_mut = ggen_fwd(ggp)
+                xc_f, cg_mut = cgen_fwd(cgp, xg_f)
+                return (xg_f, xc_f), (
+                    gg_mut["batch_stats"], cg_mut["batch_stats"]
+                )
+
+            fakes_g, gen_vjp, shared_stats = jax.vjp(
+                gen_forward,
+                (state.ggen.params, state.cgen.params),
+                has_aux=True,
+            )
+            xg_fake = jax.lax.stop_gradient(fakes_g[0])
+            xc_fake = jax.lax.stop_gradient(fakes_g[1])
+        else:
+            # reference semantics: fresh fakes for the D phase
+            # (/root/reference/src/trainer.py:304-305)
+            kd = prng.named(klocal, "d_fake")
+            xg_fake = self.ggen.apply(
+                {"params": state.ggen.params, "batch_stats": state.ggen.batch_stats},
+                b,
+                train=True,
+                rngs={"latent": prng.named(kd, "ggen_motion")},
+                mutable=["batch_stats"],
+            )[0]
+            xc_fake = self.cgen.apply(
+                {"params": state.cgen.params, "batch_stats": state.cgen.batch_stats},
+                xg_fake,
+                train=True,
+                rngs={
+                    "latent": prng.named(kd, "cgen_color"),
+                    "dropout": prng.named(kd, "cgen_dropout"),
+                },
+                mutable=["batch_stats"],
+                method=ColorVideoGenerator.forward_videos,
+            )[0]
+            xg_fake = jax.lax.stop_gradient(xg_fake)
+            xc_fake = jax.lax.stop_gradient(xc_fake)
 
         appliers = self._critic_appliers(time_mesh)
 
@@ -423,60 +485,48 @@ class DCVGAN:
         new_gdis = gated_update(state.gdis, d_grads[2], self.tx["gdis"], do_d, d_stats["gdis"])
 
         # ---------------------------------------------------- phase generator
-        kg = prng.named(klocal, "g_fake")
-
-        def ggen_fwd(ggp):
-            return self.ggen.apply(
-                {"params": ggp, "batch_stats": state.ggen.batch_stats},
-                b,
-                train=True,
-                rngs={"latent": prng.named(kg, "ggen_motion")},
-                mutable=["batch_stats"],
-            )
-
-        def cgen_fwd(cgp, xg_f):
-            return self.cgen.apply(
-                {"params": cgp, "batch_stats": state.cgen.batch_stats},
-                xg_f,
-                train=True,
-                rngs={
-                    "latent": prng.named(kg, "cgen_color"),
-                    "dropout": prng.named(kg, "cgen_dropout"),
-                },
-                mutable=["batch_stats"],
-                method=ColorVideoGenerator.forward_videos,
-            )
-
-        if cfg.trainer.remat:
-            # recompute generator activations in the backward pass instead
-            # of keeping them resident (HBM-for-FLOPs trade)
-            ggen_fwd = jax.checkpoint(ggen_fwd)
-            cgen_fwd = jax.checkpoint(cgen_fwd)
-
-        def g_loss_fn(g_params):
-            ggp, cgp = g_params
-            xg_f, gg_mut = ggen_fwd(ggp)
-            xc_f, cg_mut = cgen_fwd(cgp, xg_f)
-            # critics: *updated* D params; train-mode batch stats, not persisted
+        def critic_g_loss(xg_f, xc_f):
+            # critics: *updated* D params; train-mode batch stats (not
+            # persisted), or frozen running stats under critic_stat_reuse
+            # (skips the BN stat reductions in this fwd+bwd)
+            g_train = not cfg.trainer.critic_stat_reuse
             y_i, _ = appliers["idis"](
                 new_idis.params, new_idis.batch_stats,
                 frame(xg_f), frame(xc_f), prng.named(kg, "idis_noise"),
+                g_train,
             )
             y_v, _ = appliers["vdis"](
                 new_vdis.params, new_vdis.batch_stats,
-                xg_f, xc_f, prng.named(kg, "vdis_noise"),
+                xg_f, xc_f, prng.named(kg, "vdis_noise"), g_train,
             )
             y_g, _ = appliers["gdis"](
                 new_gdis.params, new_gdis.batch_stats,
-                xg_f, xc_f, prng.named(kg, "gdis_noise"),
+                xg_f, xc_f, prng.named(kg, "gdis_noise"), g_train,
             )
-            loss_gen = self.loss.gen(y_i, y_v, y_g)
-            return loss_gen, (gg_mut["batch_stats"], cg_mut["batch_stats"])
+            return self.loss.gen(y_i, y_v, y_g)
 
         g_params = (state.ggen.params, state.cgen.params)
-        g_grads, (loss_gen, (gg_stats, cg_stats)) = _grad_with_value(
-            g_loss_fn, g_params
-        )
+        if shared:
+            # pull the critic gradient back through the shared forward
+            loss_gen, dfakes = jax.value_and_grad(
+                lambda fakes: critic_g_loss(*fakes)
+            )(fakes_g)
+            (g_grads,) = gen_vjp(dfakes)
+            gg_stats, cg_stats = shared_stats
+        else:
+
+            def g_loss_fn(g_params):
+                ggp, cgp = g_params
+                xg_f, gg_mut = ggen_fwd(ggp)
+                xc_f, cg_mut = cgen_fwd(cgp, xg_f)
+                loss_gen = critic_g_loss(xg_f, xc_f)
+                return loss_gen, (
+                    gg_mut["batch_stats"], cg_mut["batch_stats"]
+                )
+
+            g_grads, (loss_gen, (gg_stats, cg_stats)) = _grad_with_value(
+                g_loss_fn, g_params
+            )
         g_grads = pmean(g_grads)
         gg_stats, cg_stats = pmean(gg_stats), pmean(cg_stats)
         loss_gen = pmean(loss_gen)

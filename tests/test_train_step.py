@@ -205,3 +205,68 @@ def test_remat_preserves_losses():
     _, m_rm = rm.jitted_train_step(s1, batch, key)
     for k in m_base:
         assert float(m_base[k]) == pytest.approx(float(m_rm[k]), rel=1e-6), k
+
+
+def test_critic_stat_reuse_flag():
+    """critic_stat_reuse freezes BN stats in the G-phase critic forwards:
+    D-phase losses are untouched, loss_gen differs, state stays finite,
+    and critic running stats advance only through the D phase."""
+    cfg_off = tiny_config()
+    cfg_on = tiny_config(
+        trainer={
+            "precision": "float32",
+            "donate_state": False,
+            "critic_stat_reuse": True,
+        }
+    )
+    gan_off, gan_on = DCVGAN(cfg_off), DCVGAN(cfg_on)
+    state = gan_off.init_state(prng.base_key(0))
+    batch = jax.device_put(fake_batch())
+    key = prng.base_key(7)
+
+    s_off, m_off = gan_off.jitted_train_step(state, batch, key)
+    s_on, m_on = gan_on.jitted_train_step(state, batch, key)
+
+    for k in ("loss_idis", "loss_vdis", "loss_gdis"):
+        assert float(m_off[k]) == pytest.approx(float(m_on[k]), rel=1e-5), k
+    assert float(m_off["loss_gen"]) != pytest.approx(
+        float(m_on["loss_gen"]), rel=1e-6
+    )
+    for k, v in m_on.items():
+        assert np.isfinite(float(v)), k
+    # critic stats advance identically (G phase never persisted them)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        s_off.vdis.batch_stats, s_on.vdis.batch_stats,
+    )
+
+
+def test_shared_fakes_flag():
+    """shared_fakes: one generator forward per step (D sees stop-gradient,
+    G differentiates through the same samples). All five models still
+    update; losses finite; D losses differ from the fresh-fakes path only
+    through the shared sample draw."""
+    cfg = tiny_config(
+        trainer={
+            "precision": "float32",
+            "donate_state": False,
+            "shared_fakes": True,
+        }
+    )
+    gan = DCVGAN(cfg)
+    state = gan.init_state(prng.base_key(0))
+    batch = jax.device_put(fake_batch())
+
+    s1, m1 = gan.jitted_train_step(state, batch, prng.base_key(7))
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), k
+    for name in ("ggen", "cgen", "idis", "vdis", "gdis"):
+        before = jax.tree.leaves(getattr(state, name).params)[0]
+        after = jax.tree.leaves(getattr(s1, name).params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after)), name
+    # deterministic given (state, batch, key)
+    s1b, m1b = gan.jitted_train_step(state, batch, prng.base_key(7))
+    for k in m1:
+        assert float(m1[k]) == float(m1b[k]), k
