@@ -1,6 +1,6 @@
 # Developer entry points (reference: /root/reference/Makefile).
 
-.PHONY: test test-fast format lint bench train-debug tb ci
+.PHONY: test test-fast format lint bench cpu-ratio serve-demo train-debug tb ci
 
 test:  ## full suite on the virtual 8-device CPU mesh
 	python -m pytest tests/ -q
@@ -19,6 +19,13 @@ lint:
 
 bench:  ## one-line JSON throughput benchmark
 	python bench.py
+
+cpu-ratio:  ## controlled same-host torch-vs-jax step-rate ratio (BASELINE.md)
+	python tools/bench_reference_cpu.py
+
+serve-demo:  ## sustained serving loop against the committed demo run
+	python -m dcvgan_tpu.cli.serve result/synthetic/synthetic-depth -1 \
+		--batchsize 256 --iters-per-chunk 4 --chunks 8 --sink null
 
 train-debug:  ## CPU-runnable end-to-end slice on the mock dataset
 	python -m dcvgan_tpu.cli.train --config configs/debug-mock-depth.yml

@@ -4,10 +4,14 @@ Runs on whatever accelerator is visible (one TPU v5e chip under the driver).
 Prints ONE JSON line:
 
     {"metric": "infer_videos_per_sec_per_chip", "value": ..., "unit":
-     "videos/s", "vs_baseline": value / 1000, "train_iters_per_sec": ...}
+     "videos/s", "vs_baseline": value / 1000, "train_iters_per_sec": ...,
+     "train_sweep": {...}, "train_mfu": ...}
 
 ``vs_baseline`` is measured against the BASELINE.md north-star target of
-1,000 generated 16×64×64 videos/sec/chip.
+1,000 generated 16x64x64 videos/sec/chip. ``train_sweep`` reports step rate,
+videos/s and MFU at batch 20/64/128; ``train_mfu`` is the best MFU across
+the sweep (model FLOPs per step from XLA's compiled cost analysis divided by
+measured step time and chip peak bf16 FLOP/s).
 
 Timing methodology. This environment reaches the TPU through a network
 tunnel where (a) ``block_until_ready`` can return before execution finishes
@@ -29,10 +33,31 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 
-TRAIN_SCAN_STEPS = 20
+TRAIN_SWEEP = (20, 64, 128)  # flagship batch first, then utilization probes
+TRAIN_SCAN_STEPS = {20: 20, 64: 10, 128: 6}
 INFER_BATCH = 256
 INFER_SCAN_ITERS = 20
 DISPATCH_ITERS = 10
+
+# peak bf16 matmul FLOP/s per chip, by device_kind substring
+_PEAK_BF16 = (
+    ("v6 lite", 918e12),
+    ("v6e", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def _peak_flops(device_kind: str):
+    kind = device_kind.lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
 
 
 def _scalar_rtt(n: int = 5) -> float:
@@ -43,6 +68,49 @@ def _scalar_rtt(n: int = 5) -> float:
     for _ in range(n):
         float(noop(z))
     return (time.perf_counter() - t0) / n
+
+
+def _make_batch(b: int, t: int, s: int) -> dict:
+    rng = np.random.default_rng(0)
+    return {
+        "color": rng.uniform(-1, 1, (b, t, s, s, 3)).astype(np.float32),
+        "depth": rng.uniform(-1, 1, (b, t, s, s, 1)).astype(np.float32),
+    }
+
+
+def _train_rate(gan, state, key, device_batch, steps: int, rtt: float):
+    """On-device lax.scan over `steps` train iterations -> (iters/s, flops/step)."""
+    from dcvgan_tpu import prng
+
+    def body(carry, i):
+        st, _ = carry
+        st, metrics = gan.train_step(st, device_batch, prng.for_step(key, i))
+        return (st, metrics["loss_gen"]), None
+
+    def scan(st):
+        (st, last_loss), _ = jax.lax.scan(
+            body, (st, jnp.float32(0.0)), jnp.arange(steps)
+        )
+        return last_loss
+
+    compiled = jax.jit(scan).lower(state).compile()
+    flops_per_step = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        # XLA's cost analysis counts a while-loop body ONCE, not x trip
+        # count (verified: totals are linear in batch size and invariant to
+        # the scan length), so this is already the per-step figure.
+        flops_per_step = float(cost["flops"])
+    except Exception:
+        pass
+
+    float(compiled(state))  # warm run (already compiled)
+    t0 = time.perf_counter()
+    float(compiled(state))
+    iters_per_sec = steps / max(1e-9, time.perf_counter() - t0 - rtt)
+    return iters_per_sec, flops_per_step
 
 
 def main() -> None:
@@ -60,34 +128,53 @@ def main() -> None:
     key = prng.base_key(0)
     state = replicate(gan.init_state(key), mesh)
 
-    b, t, s = cfg.batchsize, cfg.video_length, cfg.image_size
-    rng = np.random.default_rng(0)
-    batch = {
-        "color": rng.uniform(-1, 1, (b, t, s, s, 3)).astype(np.float32),
-        "depth": rng.uniform(-1, 1, (b, t, s, s, 1)).astype(np.float32),
-    }
-    device_batch = shard_batch(batch, mesh)
+    t, s = cfg.video_length, cfg.image_size
     rtt = _scalar_rtt()
+    n_chips = jax.device_count()
+    device_kind = jax.devices()[0].device_kind
+    peak = _peak_flops(device_kind)
 
-    # ---- train throughput: K steps scanned on device
-    def train_body(carry, i):
-        st, _ = carry
-        st, metrics = gan.train_step(st, device_batch, prng.for_step(key, i))
-        return (st, metrics["loss_gen"]), None
-
-    @jax.jit
-    def train_scan(st):
-        (st, last_loss), _ = jax.lax.scan(
-            train_body, (st, jnp.float32(0.0)), jnp.arange(TRAIN_SCAN_STEPS)
+    # ---- train throughput sweep: scanned on device at several batch sizes
+    train_sweep = {}
+    for b in TRAIN_SWEEP:
+        device_batch = shard_batch(_make_batch(b, t, s), mesh)
+        steps = TRAIN_SCAN_STEPS[b]
+        iters_per_sec, flops_per_step = _train_rate(
+            gan, state, key, device_batch, steps, rtt
         )
-        return last_loss
+        mfu = None
+        if peak and flops_per_step:
+            mfu = round(flops_per_step * iters_per_sec / (peak * n_chips), 4)
+        train_sweep[str(b)] = {
+            "iters_per_sec": round(iters_per_sec, 3),
+            "videos_per_sec": round(iters_per_sec * b, 1),
+            "gflops_per_step": (
+                round(flops_per_step / 1e9, 1) if flops_per_step else None
+            ),
+            "mfu": mfu,
+        }
+    flagship = train_sweep[str(cfg.batchsize)]
+    train_iters_per_sec = flagship["iters_per_sec"]
+    best_train = max(v["videos_per_sec"] for v in train_sweep.values())
+    mfus = [v["mfu"] for v in train_sweep.values() if v["mfu"] is not None]
+    train_mfu = max(mfus) if mfus else None
 
-    float(train_scan(state))  # compile
-    t0 = time.perf_counter()
-    float(train_scan(state))
-    train_iters_per_sec = TRAIN_SCAN_STEPS / max(1e-9, time.perf_counter() - t0 - rtt)
+    # fast path: trainer.shared_fakes (one generator forward shared between
+    # the D and G phases; off the parity path, see PERFORMANCE.md)
+    import copy
+
+    cfg_fast = copy.deepcopy(cfg)
+    cfg_fast.trainer.shared_fakes = True
+    gan_fast = DCVGAN(cfg_fast)
+    b = cfg.batchsize
+    device_batch = shard_batch(_make_batch(b, t, s), mesh)
+    fast_rate, _ = _train_rate(
+        gan_fast, state, key, device_batch, TRAIN_SCAN_STEPS[b], rtt
+    )
 
     # dispatched variant (one python call per step, chained through state)
+    b = cfg.batchsize
+    device_batch = shard_batch(_make_batch(b, t, s), mesh)
     step_fn = gan.jitted_train_step
     st, metrics = step_fn(state, device_batch, key)
     float(metrics["loss_gen"])
@@ -112,7 +199,6 @@ def main() -> None:
     float(infer_scan(jnp.float32(0.0)))
     dt = max(1e-9, time.perf_counter() - t0 - rtt)
     videos_per_sec = INFER_BATCH * INFER_SCAN_ITERS / dt
-    n_chips = jax.device_count()
     videos_per_sec_per_chip = videos_per_sec / n_chips
 
     # dispatched variant
@@ -140,13 +226,18 @@ def main() -> None:
                 "value": round(videos_per_sec_per_chip, 2),
                 "unit": "videos/s",
                 "vs_baseline": round(videos_per_sec_per_chip / 1000.0, 4),
-                "train_iters_per_sec": round(train_iters_per_sec, 3),
+                "train_iters_per_sec": train_iters_per_sec,
+                "train_sweep": train_sweep,
+                "train_mfu": train_mfu,
+                "best_train_videos_per_sec": best_train,
+                "train_fast_iters_per_sec": round(fast_rate, 3),
                 "dispatched_videos_per_sec_per_chip": round(disp_infer, 2),
                 "dispatched_train_iters_per_sec": round(disp_train, 3),
-                "train_batchsize": b,
+                "train_batchsize": cfg.batchsize,
                 "infer_batchsize": INFER_BATCH,
                 "n_chips": n_chips,
-                "device": jax.devices()[0].device_kind,
+                "device": device_kind,
+                "peak_bf16_flops": peak,
             }
         )
     )

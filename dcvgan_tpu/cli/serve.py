@@ -1,0 +1,242 @@
+"""Serving CLI: sustained on-device batched video generation.
+
+The reference's only inference surface regenerates mp4s offline
+(/root/reference/src/infer.py:41-88). This CLI is the production-serving
+analogue the headline BASELINE.md inference number corresponds to: the
+two-stage sampling path (ggen + cgen) plus the [-1,1]->uint8 quantization
+run **on device** inside one jitted ``lax.scan`` chunk, and chunks are
+double-buffered so the host drains chunk *k* while the chip generates chunk
+*k+1* (JAX async dispatch overlaps them for free).
+
+Usage::
+
+    python -m dcvgan_tpu.cli.serve <result_dir> <iteration> \
+        [--batchsize 256] [--iters-per-chunk 4] [--chunks 8] \
+        [--sink null|npy|mp4] [--out DIR] [--with-geo] [--seed 0]
+
+Sinks
+-----
+- ``null``    drain only a per-chunk checksum (a device-side uint32 reduce
+              over every generated pixel, so the chip provably produced and
+              quantized all videos). Measures the chip's sustained serving
+              rate with an on-device consumer.
+- ``npy``     fetch uint8 videos and write one ``color_NNNNN.npy`` shard per
+              chunk (+ ``geo_NNNNN.npy`` with ``--with-geo``).
+- ``mp4``     fetch uint8 videos and write one mp4 per video under
+              ``out/color`` (+ rendered geometry under ``out/<geo>`` with
+              ``--with-geo``), matching the infer CLI's directory layout.
+
+Prints ONE JSON line with generated and delivered videos/s. On a tunneled
+dev chip the delivered rate is bounded by tunnel bandwidth (~8 MB/s); on a
+real TPU VM the PCIe link sustains GB/s and the two rates converge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcvgan_tpu import prng
+from dcvgan_tpu.cli.infer import load_run
+
+
+def make_chunk_fn(gan, batchsize: int, iters: int):
+    """One jitted serving chunk: `iters` sampling rounds scanned on device.
+
+    Returns ``(checksum, xg_u8, xc_u8)`` where the videos are
+    ``(iters, B, T, H, W, C)`` uint8 and the checksum is a uint32 reduce
+    over all generated pixels (fetching it forces full chunk execution).
+    """
+
+    def quantize(x):
+        return ((jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+
+    def chunk_fn(state, key):
+        def body(carry, i):
+            k = jax.random.fold_in(key, i)
+            xg, xc = gan.sample_videos(state, k, batchsize, train=False)
+            xg_u8, xc_u8 = quantize(xg), quantize(xc)
+            csum = jnp.sum(xc_u8, dtype=jnp.uint32) + jnp.sum(
+                xg_u8, dtype=jnp.uint32
+            )
+            return carry + csum, (xg_u8, xc_u8)
+
+        total, (xg, xc) = jax.lax.scan(
+            body, jnp.uint32(0), jnp.arange(iters)
+        )
+        return total, xg, xc
+
+    return jax.jit(chunk_fn)
+
+
+class Sink:
+    """Drains fetched chunks; returns bytes delivered to the host."""
+
+    def __init__(self, kind: str, out: Optional[Path], geo_name: str, with_geo: bool):
+        self.kind = kind
+        self.out = out
+        self.geo_name = geo_name
+        self.with_geo = with_geo
+        self.pool = ThreadPoolExecutor(max_workers=4)
+        self.futures = []
+        if kind != "null" and out is not None:
+            out.mkdir(parents=True, exist_ok=True)
+            if kind == "mp4":
+                (out / "color").mkdir(exist_ok=True)
+                if with_geo:
+                    (out / geo_name).mkdir(exist_ok=True)
+
+    def drain(self, chunk_idx: int, csum, xg, xc) -> int:
+        """Fetch what this sink needs; return host-delivered payload bytes."""
+        int(csum)  # always: forces chunk execution on device
+        if self.kind == "null":
+            return 0
+        xc_np = np.asarray(xc)  # (iters, B, T, H, W, 3) uint8
+        nbytes = xc_np.nbytes
+        xg_np = None
+        if self.with_geo:
+            xg_np = np.asarray(xg)
+            nbytes += xg_np.nbytes
+        self.futures.append(
+            self.pool.submit(self._write, chunk_idx, xg_np, xc_np)
+        )
+        return nbytes
+
+    def _write(self, chunk_idx: int, xg_np, xc_np) -> None:
+        if self.kind == "npy":
+            np.save(self.out / f"color_{chunk_idx:05d}.npy", xc_np)
+            if xg_np is not None:
+                np.save(self.out / f"geo_{chunk_idx:05d}.npy", xg_np)
+            return
+        # mp4: flatten (iters, B) -> videos, same layout as the infer CLI
+        from dcvgan_tpu.io.video import write_videos_parallel
+        from dcvgan_tpu.utils.video_np import geometric_info_in_color_format
+
+        videos = xc_np.reshape((-1,) + xc_np.shape[2:])
+        base = chunk_idx * len(videos)
+        write_videos_parallel(
+            videos,
+            [self.out / "color" / f"{base + i:06d}.mp4" for i in range(len(videos))],
+        )
+        if xg_np is not None:
+            geo = xg_np.reshape((-1,) + xg_np.shape[2:])
+            geo = geo.astype(np.float32) / 127.5 - 1.0  # undo serving quantization
+            geo = geometric_info_in_color_format(geo, self.geo_name)
+            write_videos_parallel(
+                geo,
+                [
+                    self.out / self.geo_name / f"{base + i:06d}.mp4"
+                    for i in range(len(geo))
+                ],
+            )
+
+    def close(self) -> None:
+        for f in self.futures:
+            f.result()
+        self.pool.shutdown()
+
+
+def serve(
+    gan,
+    state,
+    batchsize: int,
+    iters_per_chunk: int,
+    chunks: int,
+    sink: Sink,
+    seed: int = 0,
+    queue_depth: int = 2,
+) -> dict:
+    """Run the double-buffered serving loop; return the stats record."""
+    chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk)
+    key = prng.base_key(seed)
+
+    # compile (excluded from the sustained measurement); fetch the checksum
+    # rather than block_until_ready — under a tunneled backend the latter
+    # can return before remote execution finishes (see PERFORMANCE.md)
+    warm = chunk_fn(state, prng.for_step(key, 10**6))
+    int(warm[0])
+
+    videos_per_chunk = batchsize * iters_per_chunk
+    pending: deque = deque()
+    delivered_bytes = 0
+    t0 = time.perf_counter()
+    for k in range(chunks):
+        pending.append((k, chunk_fn(state, prng.for_step(key, k))))
+        # keep `queue_depth` chunks in flight; drain the oldest beyond that
+        while len(pending) > queue_depth - 1:
+            idx, (csum, xg, xc) = pending.popleft()
+            delivered_bytes += sink.drain(idx, csum, xg, xc)
+    while pending:
+        idx, (csum, xg, xc) = pending.popleft()
+        delivered_bytes += sink.drain(idx, csum, xg, xc)
+    gen_dt = time.perf_counter() - t0
+    sink.close()
+    total_dt = time.perf_counter() - t0
+
+    n_videos = videos_per_chunk * chunks
+    n_chips = jax.device_count()
+    return {
+        "metric": "serve_videos_per_sec_per_chip",
+        "value": round(n_videos / gen_dt / n_chips, 2),
+        "unit": "videos/s",
+        "sink": sink.kind,
+        "videos": n_videos,
+        "batchsize": batchsize,
+        "iters_per_chunk": iters_per_chunk,
+        "chunks": chunks,
+        "generate_plus_drain_s": round(gen_dt, 3),
+        "total_s_incl_writes": round(total_dt, 3),
+        "delivered_videos_per_sec": (
+            round(n_videos / total_dt, 2) if sink.kind != "null" else None
+        ),
+        "delivered_MB_per_sec": (
+            round(delivered_bytes / 1e6 / total_dt, 2) if delivered_bytes else None
+        ),
+        "n_chips": n_chips,
+        "device": jax.devices()[0].device_kind,
+    }
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("result_dir", type=Path)
+    parser.add_argument("iteration", type=int)
+    parser.add_argument("--batchsize", "-b", type=int, default=256)
+    parser.add_argument("--iters-per-chunk", type=int, default=4)
+    parser.add_argument("--chunks", type=int, default=8)
+    parser.add_argument("--sink", choices=["null", "npy", "mp4"], default="null")
+    parser.add_argument("--out", type=Path, default=None)
+    parser.add_argument("--with-geo", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--queue-depth", type=int, default=2)
+    args = parser.parse_args(argv)
+
+    if args.sink != "null" and args.out is None:
+        parser.error(f"--sink {args.sink} requires --out DIR")
+
+    cfg, gan, state = load_run(args.result_dir, args.iteration)
+    sink = Sink(args.sink, args.out, cfg.geometric_info.name, args.with_geo)
+    stats = serve(
+        gan,
+        state,
+        args.batchsize,
+        args.iters_per_chunk,
+        args.chunks,
+        sink,
+        seed=args.seed,
+        queue_depth=args.queue_depth,
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

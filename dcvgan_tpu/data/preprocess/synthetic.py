@@ -1,11 +1,18 @@
-"""Synthetic moving-shapes RGB-D dataset.
+"""Synthetic moving-shapes dataset covering every geometry modality.
 
 A generated dataset (no raw download needed) for demos, benchmarks, and
 training-dynamics validation: each video shows a colored rectangle
-bouncing over a gradient background, with a consistent depth map (shape
-near, background far). Structure matches the processed-dataset contract
-(color frames + depth frames + list.txt) so every modality-agnostic code
-path — loader, trainer, eval — runs unchanged.
+bouncing over a gradient background, with
+
+- a consistent **depth** map (shape near, background far),
+- ground-truth **optical flow** (the shape's per-frame displacement,
+  analytic — no Farnebäck estimation noise),
+- a **segmentation** map (background 0, shape = a per-video part id),
+
+so all three ``geometric_info`` branches of the dataset/trainer
+(/root/reference/src/dataset.py:134-181 semantics) are trainable without
+raw downloads. Structure matches the processed-dataset contract (color
+frames + depth frames + ``optical-flow.npy`` + ``segm.npy`` + list.txt).
 
 Registered as dataset name ``synthetic``; the ``dataset.path`` config value
 is unused (nothing raw to read).
@@ -56,12 +63,16 @@ def preprocess_synthetic_dataset(
             (np.cos(bg_angle) * xx + np.sin(bg_angle) * yy) / s * 80 + 60
         ).astype(np.uint8)
 
+        part_id = int(rng.integers(1, 25))  # SURREAL-style part label
+        flow = np.zeros((N_FRAMES, s, s, 2), np.float32)
+        segm = np.zeros((N_FRAMES, s, s), np.uint8)
         for j in range(N_FRAMES):
             frame = np.stack([bg] * 3, axis=-1).astype(np.uint8)
             depth = np.full((s, s), 220, np.uint8)  # far background
             xi, yi = int(round(x)), int(round(y))
             frame[yi : yi + size, xi : xi + size] = color
             depth[yi : yi + size, xi : xi + size] = 60  # near shape
+            segm[j, yi : yi + size, xi : xi + size] = part_id
             write_img(frame, vdir / "color" / f"{j:03d}.jpg")
             write_img(depth, vdir / "depth" / f"{j:03d}.jpg", grayscale=True)
 
@@ -70,6 +81,13 @@ def preprocess_synthetic_dataset(
                 vx, x = -vx, np.clip(x, 0, s - size)
             if y < 0 or y > s - size:
                 vy, y = -vy, np.clip(y, 0, s - size)
+            # analytic flow at frame j: displacement to frame j+1, inside
+            # the shape region only (background is static)
+            xn, yn = int(round(x)), int(round(y))
+            flow[j, yi : yi + size, xi : xi + size, 0] = float(xn - xi)
+            flow[j, yi : yi + size, xi : xi + size, 1] = float(yn - yi)
+        np.save(vdir / "optical-flow.npy", flow)
+        np.save(vdir / "segm.npy", segm)
         lines.append(f"{n} {N_FRAMES}")
 
     (save_path / "list.txt").write_text("\n".join(lines) + "\n")

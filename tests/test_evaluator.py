@@ -96,6 +96,38 @@ def test_synthetic_dataset_generation(tmp_path):
     # depth is bimodal: near shape / far background
     assert s["depth"].std() > 0.05
 
+    # the same generated tree serves the flow and segmentation branches
+    flow_ds = VideoDataset(
+        name="synthetic",
+        dataset_path="unused",
+        preprocess_func=None,
+        video_length=16,
+        image_size=32,
+        geometric_info="optical-flow",
+        processed_root=tmp_path,
+    )
+    f = flow_ds.sample(0, np.random.default_rng(0))
+    assert f["optical-flow"].shape == (16, 32, 32, 2)
+    # analytic flow: nonzero inside the moving shape, normalized by size
+    assert np.abs(f["optical-flow"]).max() > 0
+    assert np.abs(f["optical-flow"]).max() <= 8.0 / 32
+
+    segm_ds = VideoDataset(
+        name="synthetic",
+        dataset_path="unused",
+        preprocess_func=None,
+        video_length=16,
+        image_size=32,
+        geometric_info="segmentation",
+        processed_root=tmp_path,
+    )
+    g = segm_ds.sample(0, np.random.default_rng(0))
+    assert g["segmentation"].shape == (16, 32, 32, 25)
+    # {0,1} one-hot over 25 parts at every pixel, >= 2 classes present
+    assert np.allclose(g["segmentation"].sum(-1), 1.0)
+    assert set(np.unique(g["segmentation"])) == {0.0, 1.0}
+    assert (g["segmentation"].reshape(-1, 25).sum(0) > 0).sum() >= 2
+
 
 def test_evaluate_cli(tmp_path):
     from dcvgan_tpu.io.video import write_videos_parallel

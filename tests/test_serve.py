@@ -1,0 +1,92 @@
+"""Serving loop: on-device chunked generation + double-buffered drain."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from dcvgan_tpu import prng
+from dcvgan_tpu.cli.serve import Sink, make_chunk_fn, serve
+from dcvgan_tpu.config import ExperimentConfig
+from dcvgan_tpu.train.step import DCVGAN
+
+
+def tiny_gan():
+    cfg = ExperimentConfig.from_dict(
+        {
+            "batchsize": 2,
+            "video_length": 16,
+            "image_size": 64,
+            "geometric_info": {"name": "depth", "channel": 1},
+            "ggen": {"dim_z_content": 8, "dim_z_motion": 4, "ngf": 8},
+            "cgen": {"dim_z_color": 4, "ngf": 8},
+            "idis": {"use_noise": True, "noise_sigma": 0.1, "ndf": 8},
+            "vdis": {"use_noise": False, "ndf": 8},
+            "gdis": {"use_noise": False, "ndf": 8},
+            "trainer": {"precision": "float32"},
+        }
+    )
+    cfg.validate()
+    gan = DCVGAN(cfg)
+    state = gan.init_state(prng.base_key(0))
+    return cfg, gan, state
+
+
+def test_chunk_fn_shapes_and_determinism():
+    _, gan, state = tiny_gan()
+    chunk_fn = make_chunk_fn(gan, batchsize=2, iters=3)
+    key = prng.base_key(0)
+    csum, xg, xc = chunk_fn(state, key)
+    assert xc.shape == (3, 2, 16, 64, 64, 3) and xc.dtype == np.uint8
+    assert xg.shape == (3, 2, 16, 64, 64, 1) and xg.dtype == np.uint8
+    # per-iteration keys differ -> videos differ across scan iterations
+    # (checked pre-quantization: a fresh tiny init generates near-zero
+    # pixels that can quantize to the same uint8)
+    import jax
+
+    f0 = gan.sample_videos(state, jax.random.fold_in(key, 0), 2, train=False)
+    f1 = gan.sample_videos(state, jax.random.fold_in(key, 1), 2, train=False)
+    assert not np.allclose(np.asarray(f0[1]), np.asarray(f1[1]))
+    # same key -> identical chunk (serving is replayable)
+    csum2, _, xc2 = chunk_fn(state, key)
+    assert int(csum) == int(csum2)
+    assert np.array_equal(np.asarray(xc), np.asarray(xc2))
+
+
+def test_serve_null_sink():
+    _, gan, state = tiny_gan()
+    sink = Sink("null", None, "depth", with_geo=False)
+    stats = serve(gan, state, batchsize=2, iters_per_chunk=2, chunks=3, sink=sink)
+    assert stats["videos"] == 12
+    assert stats["value"] > 0
+    assert stats["delivered_videos_per_sec"] is None
+    json.dumps(stats)  # JSON-serializable record
+
+
+def test_serve_npy_sink(tmp_path):
+    _, gan, state = tiny_gan()
+    out = tmp_path / "shards"
+    sink = Sink("npy", out, "depth", with_geo=True)
+    stats = serve(gan, state, batchsize=2, iters_per_chunk=2, chunks=2, sink=sink)
+    color = sorted(out.glob("color_*.npy"))
+    geo = sorted(out.glob("geo_*.npy"))
+    assert len(color) == 2 and len(geo) == 2
+    arr = np.load(color[0])
+    assert arr.shape == (2, 2, 16, 64, 64, 3) and arr.dtype == np.uint8
+    assert arr.min() >= 0 and arr.max() <= 255
+    assert stats["delivered_MB_per_sec"] is not None
+
+
+def test_serve_mp4_sink(tmp_path):
+    cfg, gan, state = tiny_gan()
+    out = tmp_path / "served"
+    sink = Sink("mp4", out, "depth", with_geo=True)
+    serve(gan, state, batchsize=2, iters_per_chunk=1, chunks=2, sink=sink)
+    color = sorted((out / "color").glob("*.mp4"))
+    geo = sorted((out / "depth").glob("*.mp4"))
+    assert len(color) == 4 and len(geo) == 4  # 2 chunks x 1 iter x batch 2
+
+    from dcvgan_tpu.io.video import read_video
+
+    v = read_video(color[0])
+    assert v.shape == (16, 64, 64, 3)
