@@ -29,17 +29,35 @@ Sinks
 Prints ONE JSON line with generated and delivered videos/s. On a tunneled
 dev chip the delivered rate is bounded by tunnel bandwidth (~8 MB/s); on a
 real TPU VM the PCIe link sustains GB/s and the two rates converge.
+
+HTTP mode
+---------
+``--listen PORT`` starts a network serving endpoint over the same on-device
+chunk machinery instead of running a fixed number of chunks:
+
+- ``GET /healthz``                     -> JSON {status, device, model info}
+- ``GET /stats``                       -> JSON request/video counters
+- ``GET /generate?n=16&seed=0``        -> ``.npy`` bytes, uint8 (n,T,H,W,3)
+- ``GET /generate?n=16&seed=0&geo=1``  -> ``.npz`` with ``color`` + ``geo``
+
+Requests are served from pipelined device chunks (dispatch-ahead inside a
+request); device work is serialized across concurrent requests (one chip =
+one queue) while fetch/encode overlap.
 """
 
 from __future__ import annotations
 
 import argparse
+import io
 import json
+import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional, Sequence
+from urllib.parse import parse_qs, urlparse
 
 import jax
 import jax.numpy as jnp
@@ -206,6 +224,133 @@ def serve(
     }
 
 
+class GenerationServer:
+    """Request-oriented wrapper over the on-device chunk generator.
+
+    One compiled chunk function serves every request; requests needing more
+    than one chunk pipeline them (dispatch chunk k+1 before fetching chunk
+    k). Device dispatch is serialized under a lock — a single chip has one
+    execution queue — while host-side fetch/encode runs outside it.
+    """
+
+    def __init__(
+        self,
+        gan,
+        state,
+        batchsize: int = 64,
+        iters_per_chunk: int = 1,
+        geo_name: str = "depth",
+    ):
+        self.batchsize = batchsize
+        self.iters = iters_per_chunk
+        self.geo_name = geo_name
+        self.state = state
+        self.chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk)
+        self._lock = threading.Lock()
+        self._t0 = time.perf_counter()
+        self.counters = {"requests": 0, "videos_served": 0, "errors": 0}
+        int(self.chunk_fn(state, prng.base_key(0))[0])  # compile + warm
+
+    def generate(self, n: int, seed: int, with_geo: bool = False):
+        """Return (geo | None, color) uint8 arrays of exactly n videos."""
+        per_chunk = self.batchsize * self.iters
+        n_chunks = (n + per_chunk - 1) // per_chunk
+        key = prng.base_key(seed)
+        with self._lock:
+            handles = [
+                self.chunk_fn(self.state, prng.for_step(key, k))
+                for k in range(n_chunks)
+            ]  # async dispatch: all chunks enqueue on device immediately
+        xgs, xcs = [], []
+        for csum, xg, xc in handles:
+            int(csum)
+            xcs.append(np.asarray(xc).reshape((-1,) + xc.shape[2:]))
+            if with_geo:
+                xgs.append(np.asarray(xg).reshape((-1,) + xg.shape[2:]))
+        color = np.concatenate(xcs)[:n]
+        geo = np.concatenate(xgs)[:n] if with_geo else None
+        self.counters["requests"] += 1
+        self.counters["videos_served"] += n
+        return geo, color
+
+    def info(self) -> dict:
+        return {
+            "status": "ok",
+            "device": jax.devices()[0].device_kind,
+            "batchsize": self.batchsize,
+            "iters_per_chunk": self.iters,
+            "geometric_info": self.geo_name,
+            "uptime_s": round(time.perf_counter() - self._t0, 1),
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "dcvgan-tpu-serve/1.0"
+    gen: GenerationServer  # set on the handler class by serve_http
+
+    def log_message(self, fmt, *args):  # quiet: stats endpoint instead
+        pass
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:
+        url = urlparse(self.path)
+        if url.path == "/healthz":
+            self._json(200, self.gen.info())
+            return
+        if url.path == "/stats":
+            self._json(200, dict(self.gen.counters, **self.gen.info()))
+            return
+        if url.path != "/generate":
+            self._json(404, {"error": f"unknown path {url.path}"})
+            return
+        try:
+            q = parse_qs(url.query)
+            n = int(q.get("n", ["16"])[0])
+            seed = int(q.get("seed", ["0"])[0])
+            with_geo = q.get("geo", ["0"])[0] not in ("0", "", "false")
+            if not 1 <= n <= 65536:
+                raise ValueError(f"n={n} out of range [1, 65536]")
+        except ValueError as e:
+            self.gen.counters["errors"] += 1
+            self._json(400, {"error": str(e)})
+            return
+        try:
+            geo, color = self.gen.generate(n, seed, with_geo)
+            buf = io.BytesIO()
+            if with_geo:
+                np.savez(buf, color=color, geo=geo)
+                ctype = "application/x-npz"
+            else:
+                np.save(buf, color)
+                ctype = "application/x-npy"
+        except Exception as e:  # chip/transfer failure -> 500, keep serving
+            self.gen.counters["errors"] += 1
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        body = buf.getvalue()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Video-Shape", "x".join(map(str, color.shape)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    do_POST = do_GET
+
+
+def serve_http(gen: GenerationServer, port: int) -> ThreadingHTTPServer:
+    """Bind a ThreadingHTTPServer for `gen` on `port` (0 = ephemeral)."""
+    handler = type("BoundHandler", (_Handler,), {"gen": gen})
+    return ThreadingHTTPServer(("", port), handler)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("result_dir", type=Path)
@@ -218,12 +363,35 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--with-geo", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--queue-depth", type=int, default=2)
+    parser.add_argument(
+        "--listen",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="start the HTTP serving endpoint instead of a fixed-chunk run",
+    )
     args = parser.parse_args(argv)
 
     if args.sink != "null" and args.out is None:
         parser.error(f"--sink {args.sink} requires --out DIR")
 
     cfg, gan, state = load_run(args.result_dir, args.iteration)
+
+    if args.listen is not None:
+        gen = GenerationServer(
+            gan,
+            state,
+            batchsize=args.batchsize,
+            iters_per_chunk=args.iters_per_chunk,
+            geo_name=cfg.geometric_info.name,
+        )
+        httpd = serve_http(gen, args.listen)
+        print(
+            json.dumps({"listening": httpd.server_address[1], **gen.info()}),
+            flush=True,
+        )
+        httpd.serve_forever()
+        return
     sink = Sink(args.sink, args.out, cfg.geometric_info.name, args.with_geo)
     stats = serve(
         gan,

@@ -189,6 +189,10 @@ class VideoDataset:
         if gi == "segmentation":
             segm = np.load(str(path / "segm.npy"), mmap_mode="r")
             segm = np.asarray(segm[list(frames)])
+            if self.raw_uint8:
+                # ship class labels, not one-hot: 25x less host->device
+                # transfer; the train step one-hots on device
+                return segm[..., None]  # (T, H, W, 1) uint8
             return native.one_hot(segm, NUM_SEGM_PARTS)  # (T, H, W, 25)
         raise NotImplementedError(f"geometric_info {gi!r}")
 

@@ -44,6 +44,7 @@ import optax
 
 from dcvgan_tpu import prng
 from dcvgan_tpu.config import ExperimentConfig, OptimizerConfig
+from dcvgan_tpu.data.dataset import NUM_SEGM_PARTS
 from dcvgan_tpu.losses import get_loss
 from dcvgan_tpu.models import (
     ColorVideoGenerator,
@@ -333,8 +334,15 @@ class DCVGAN:
                 return dequantize_video(x, self.dtype)
             return x.astype(self.dtype)
 
+        def ingest_geo(x: jax.Array) -> jax.Array:
+            if geo == "segmentation" and x.dtype == jnp.uint8:
+                # class labels arrive raw (25x less transfer than host-side
+                # one-hot float32); expand on device
+                return jax.nn.one_hot(x[..., 0], NUM_SEGM_PARTS, dtype=self.dtype)
+            return ingest(x)
+
         xc_real = ingest(batch["color"])
-        xg_real = ingest(batch[geo])
+        xg_real = ingest_geo(batch[geo])
         b = xc_real.shape[0]
 
         t_rand = jax.random.randint(

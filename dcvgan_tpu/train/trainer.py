@@ -127,8 +127,16 @@ class Trainer:
         rows = cols = int(np.sqrt(n))
         if rows * cols >= 1:
             xc_real = videos_to_uint8(real["color"][: rows * cols])
+            xg_raw = real[self.geometric_info][: rows * cols]
+            if self.geometric_info == "segmentation" and xg_raw.dtype == np.uint8:
+                # raw class labels (device-normalize ingest path) -> one-hot
+                # for the palette renderer
+                from dcvgan_tpu import native
+                from dcvgan_tpu.data.dataset import NUM_SEGM_PARTS
+
+                xg_raw = native.one_hot(xg_raw[..., 0], NUM_SEGM_PARTS)
             xg_real = geometric_info_in_color_format(
-                ensure_float_video(real[self.geometric_info][: rows * cols]),
+                ensure_float_video(xg_raw),
                 self.geometric_info,
             )
             self._log_geo_histograms(xg_real, "geospace_real", iteration)

@@ -91,3 +91,66 @@ def test_train_step_accepts_uint8_batch():
     _, m_f32 = gan.jitted_train_step(state, f32, key)
     for k in m_u8:
         assert float(m_u8[k]) == pytest.approx(float(m_f32[k]), rel=1e-5), k
+
+
+def test_dataset_raw_segm_labels(mock_data_root):
+    """Segmentation ships uint8 class labels under raw_uint8 (25x less
+    transfer); on-device one-hot must equal the host one-hot branch."""
+    from dcvgan_tpu.data.dataset import NUM_SEGM_PARTS, VideoDataset
+
+    kwargs = dict(
+        name="mock", preprocess_func=None, video_length=16, image_size=64,
+        geometric_info="segmentation", extension="png",
+        processed_root=mock_data_root.parent.parent,
+    )
+    raw = VideoDataset(raw_uint8=True, **kwargs).sample(0, np.random.default_rng(0))
+    f32 = VideoDataset(raw_uint8=False, **kwargs).sample(0, np.random.default_rng(0))
+    labels = raw["segmentation"]
+    assert labels.dtype == np.uint8 and labels.shape == (16, 64, 64, 1)
+    onehot = np.eye(NUM_SEGM_PARTS, dtype=np.float32)[labels[..., 0]]
+    np.testing.assert_array_equal(onehot, f32["segmentation"])
+
+
+def test_train_step_segm_label_ingest_equivalence():
+    """The jitted train step produces identical metrics whether the
+    segmentation batch arrives as host one-hot float32 or raw uint8 labels
+    (one-hot expanded on device)."""
+    from dcvgan_tpu import prng
+    from dcvgan_tpu.config import ExperimentConfig
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "batchsize": 2,
+            "video_length": 16,
+            "image_size": 64,
+            "geometric_info": {"name": "segmentation", "channel": 25},
+            "ggen": {"dim_z_content": 8, "dim_z_motion": 4, "ngf": 8},
+            "cgen": {"dim_z_color": 4, "ngf": 8},
+            "idis": {"use_noise": False, "ndf": 8},
+            "vdis": {"use_noise": False, "ndf": 8},
+            "gdis": {"use_noise": False, "ndf": 8},
+            "trainer": {"precision": "float32", "donate_state": False},
+        }
+    )
+    cfg.validate()
+    gan = DCVGAN(cfg)
+    key = prng.base_key(0)
+    state = gan.init_state(key)
+
+    rng = np.random.default_rng(0)
+    color = rng.uniform(-1, 1, (2, 16, 64, 64, 3)).astype(np.float32)
+    labels = rng.integers(0, 25, (2, 16, 64, 64, 1), dtype=np.uint8)
+    onehot = np.eye(25, dtype=np.float32)[labels[..., 0]]
+
+    _, m_onehot = gan.jitted_train_step(
+        state, {"color": color, "segmentation": onehot}, key
+    )
+    _, m_labels = gan.jitted_train_step(
+        state, {"color": color, "segmentation": labels}, key
+    )
+    for k in m_onehot:
+        np.testing.assert_allclose(
+            float(m_onehot[k]), float(m_labels[k]), rtol=1e-5,
+            err_msg=f"metric {k} differs between one-hot and label ingest",
+        )

@@ -77,6 +77,59 @@ def test_serve_npy_sink(tmp_path):
     assert stats["delivered_MB_per_sec"] is not None
 
 
+def test_http_endpoint():
+    import io
+    import threading
+    import urllib.request
+
+    from dcvgan_tpu.cli.serve import GenerationServer, serve_http
+
+    _, gan, state = tiny_gan()
+    gen = GenerationServer(gan, state, batchsize=2, iters_per_chunk=1)
+    httpd = serve_http(gen, 0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batchsize"] == 2
+
+        # 3 videos from a 2-per-chunk server -> pipelined 2-chunk request
+        with urllib.request.urlopen(f"{base}/generate?n=3&seed=7") as r:
+            assert r.headers["Content-Type"] == "application/x-npy"
+            body1 = r.read()
+        vids = np.load(io.BytesIO(body1))
+        assert vids.shape == (3, 16, 64, 64, 3) and vids.dtype == np.uint8
+
+        # same seed -> identical bytes (replayable serving)
+        with urllib.request.urlopen(f"{base}/generate?n=3&seed=7") as r:
+            assert r.read() == body1
+
+        # geo=1 -> npz with both modalities
+        with urllib.request.urlopen(f"{base}/generate?n=2&seed=0&geo=1") as r:
+            npz = np.load(io.BytesIO(r.read()))
+        assert npz["color"].shape == (2, 16, 64, 64, 3)
+        assert npz["geo"].shape == (2, 16, 64, 64, 1)
+
+        # bad input -> 400, server keeps serving
+        try:
+            urllib.request.urlopen(f"{base}/generate?n=0")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 3 and stats["videos_served"] == 8
+        assert stats["errors"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_serve_mp4_sink(tmp_path):
     cfg, gan, state = tiny_gan()
     out = tmp_path / "served"
