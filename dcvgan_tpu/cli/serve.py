@@ -67,12 +67,18 @@ from dcvgan_tpu import prng
 from dcvgan_tpu.cli.infer import load_run
 
 
-def make_chunk_fn(gan, batchsize: int, iters: int):
+def make_chunk_fn(gan, batchsize: int, iters: int, mesh=None):
     """One jitted serving chunk: `iters` sampling rounds scanned on device.
 
     Returns ``(checksum, xg_u8, xc_u8)`` where the videos are
     ``(iters, B, T, H, W, C)`` uint8 and the checksum is a uint32 reduce
     over all generated pixels (fetching it forces full chunk execution).
+
+    With ``mesh``, the chunk runs SPMD over the mesh's ``data`` axis: state
+    and key replicated, the batch dimension of every sampled video sharded
+    across chips (XLA partitions the generator convs and the partitionable
+    threefry draws; no collectives on the serving path). Output values are
+    bit-identical to the unsharded chunk.
     """
 
     def quantize(x):
@@ -93,7 +99,20 @@ def make_chunk_fn(gan, batchsize: int, iters: int):
         )
         return total, xg, xc
 
-    return jax.jit(chunk_fn)
+    if mesh is None:
+        return jax.jit(chunk_fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dcvgan_tpu.parallel.mesh import DATA_AXIS
+
+    rep = NamedSharding(mesh, P())
+    sharded_videos = NamedSharding(mesh, P(None, DATA_AXIS))  # (iters, B, ...)
+    return jax.jit(
+        chunk_fn,
+        in_shardings=(rep, rep),
+        out_shardings=(rep, sharded_videos, sharded_videos),
+    )
 
 
 class Sink:
@@ -172,9 +191,14 @@ def serve(
     sink: Sink,
     seed: int = 0,
     queue_depth: int = 2,
+    mesh=None,
 ) -> dict:
     """Run the double-buffered serving loop; return the stats record."""
-    chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk)
+    if mesh is not None:
+        from dcvgan_tpu.parallel.mesh import replicate
+
+        state = replicate(state, mesh)
+    chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk, mesh)
     key = prng.base_key(seed)
 
     # compile (excluded from the sustained measurement); fetch the checksum
@@ -201,7 +225,7 @@ def serve(
     total_dt = time.perf_counter() - t0
 
     n_videos = videos_per_chunk * chunks
-    n_chips = jax.device_count()
+    n_chips = mesh.size if mesh is not None else jax.device_count()
     return {
         "metric": "serve_videos_per_sec_per_chip",
         "value": round(n_videos / gen_dt / n_chips, 2),
@@ -240,12 +264,18 @@ class GenerationServer:
         batchsize: int = 64,
         iters_per_chunk: int = 1,
         geo_name: str = "depth",
+        mesh=None,
     ):
         self.batchsize = batchsize
         self.iters = iters_per_chunk
         self.geo_name = geo_name
+        self.n_chips = 1 if mesh is None else mesh.size
+        if mesh is not None:
+            from dcvgan_tpu.parallel.mesh import replicate
+
+            state = replicate(state, mesh)
         self.state = state
-        self.chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk)
+        self.chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk, mesh)
         self._lock = threading.Lock()
         self._t0 = time.perf_counter()
         self.counters = {"requests": 0, "videos_served": 0, "errors": 0}
@@ -277,6 +307,7 @@ class GenerationServer:
         return {
             "status": "ok",
             "device": jax.devices()[0].device_kind,
+            "n_chips": self.n_chips,
             "batchsize": self.batchsize,
             "iters_per_chunk": self.iters,
             "geometric_info": self.geo_name,
@@ -370,12 +401,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         metavar="PORT",
         help="start the HTTP serving endpoint instead of a fixed-chunk run",
     )
+    parser.add_argument(
+        "--mesh",
+        type=int,
+        default=1,
+        metavar="N",
+        help="shard each chunk's batch over N chips (-1 = all visible); "
+        "1 = single-device serving (default)",
+    )
     args = parser.parse_args(argv)
 
     if args.sink != "null" and args.out is None:
         parser.error(f"--sink {args.sink} requires --out DIR")
 
     cfg, gan, state = load_run(args.result_dir, args.iteration)
+    mesh = None
+    if args.mesh != 1:
+        from dcvgan_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data=args.mesh, batchsize=args.batchsize)
 
     if args.listen is not None:
         gen = GenerationServer(
@@ -384,6 +428,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             batchsize=args.batchsize,
             iters_per_chunk=args.iters_per_chunk,
             geo_name=cfg.geometric_info.name,
+            mesh=mesh,
         )
         httpd = serve_http(gen, args.listen)
         print(
@@ -402,6 +447,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         sink,
         seed=args.seed,
         queue_depth=args.queue_depth,
+        mesh=mesh,
     )
     print(json.dumps(stats))
 

@@ -239,6 +239,14 @@ class TrainerConfig:
     # scores the same samples the D update just saw — a documented dynamics
     # delta. Default false = reference semantics.
     shared_fakes: bool = False
+    # Perf opt-in, off the parity path: in the D phase, run each critic
+    # ONCE on the concatenated [real; fake] batch (2B) instead of two
+    # B-sized forwards, and split the logits. Halves critic conv dispatches
+    # and doubles their MXU batch. Semantics delta: train-mode BatchNorm
+    # inside the critics normalizes over the joint real+fake batch (the
+    # reference normalizes each pass separately), and the Noise layers draw
+    # one 2B-sized sample. Default false = reference semantics.
+    critic_joint_batch: bool = False
 
 
 @dataclass

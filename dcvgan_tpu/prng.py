@@ -35,6 +35,7 @@ _NAMED_TAGS = {
     "eval": 13,
     "host": 14,
     "sample": 15,
+    "joint": 16,  # critic_joint_batch: one noise stream for [real; fake]
 }
 
 

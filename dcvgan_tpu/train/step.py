@@ -446,16 +446,26 @@ class DCVGAN:
                 ("gdis", gp, state.gdis.batch_stats, False),
             ]
             for name, params, stats, is_frame in specs:
-                y_real, stats = critic_apply(
-                    name, params, stats, xg_real, xc_real,
-                    prng.named(prng.named(klocal, f"{name}_noise"), "d_fake"),
-                    is_frame,
-                )
-                y_fake, stats = critic_apply(
-                    name, params, stats, xg_fake, xc_fake,
-                    prng.named(prng.named(klocal, f"{name}_noise"), "g_fake"),
-                    is_frame,
-                )
+                nkey = prng.named(klocal, f"{name}_noise")
+                if cfg.trainer.critic_joint_batch:
+                    # one 2B forward on [real; fake]: half the conv
+                    # dispatches, joint-batch BN stats (documented delta)
+                    xg_j = jnp.concatenate([xg_real, xg_fake], axis=0)
+                    xc_j = jnp.concatenate([xc_real, xc_fake], axis=0)
+                    y, stats = critic_apply(
+                        name, params, stats, xg_j, xc_j,
+                        prng.named(nkey, "joint"), is_frame,
+                    )
+                    y_real, y_fake = y[:b], y[b:]
+                else:
+                    y_real, stats = critic_apply(
+                        name, params, stats, xg_real, xc_real,
+                        prng.named(nkey, "d_fake"), is_frame,
+                    )
+                    y_fake, stats = critic_apply(
+                        name, params, stats, xg_fake, xc_fake,
+                        prng.named(nkey, "g_fake"), is_frame,
+                    )
                 losses[name] = self.loss.dis(y_real, y_fake)
                 new_stats[name] = stats
             total = losses["idis"] + losses["vdis"] + losses["gdis"]

@@ -16,6 +16,8 @@ are preserved; the mechanics are TPU-native:
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -174,6 +176,20 @@ class Trainer:
         cfg = self.config
         logger = self.logger
 
+        # Preemption safety: TPU VMs get SIGTERM on maintenance/preemption.
+        # Trap it (and SIGINT) into a flag checked once per step so train()
+        # exits through the final force-checkpoint below instead of dying
+        # mid-dispatch; resume then continues from the trapped step.
+        # Installed first so even the initial sample/eval compiles are
+        # covered.
+        self._stop = threading.Event()
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(
+                    sig, lambda *_: self._stop.set()
+                )
+
         logger.define("loss_gen", MetricType.Loss)
         logger.define("loss_idis", MetricType.Loss)
         logger.define("loss_vdis", MetricType.Loss)
@@ -215,8 +231,12 @@ class Trainer:
 
         try:
             for _ in range(self.epoch, cfg.n_epochs):
+                if self._stop.is_set():
+                    break
                 self.epoch += 1
                 for batch in self.loader.epoch_iterator(epoch=self.epoch - 1):
+                    if self._stop.is_set():
+                        break
                     device_batch = shard_batch(batch, self.mesh)
                     self.state, metrics = step_fn(
                         self.state, device_batch, self.base_key
@@ -251,9 +271,17 @@ class Trainer:
         finally:
             if cfg.trainer.profile:
                 jax.profiler.stop_trace()
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
 
+        if self._stop.is_set():
+            logger.info(
+                f"interrupted (preemption/SIGTERM) at iteration {iteration}; "
+                "saving checkpoint for resume"
+            )
         # final snapshot + samples (reference :391-392)
         self.ckpt.save(self.state, force=True)
         self.ckpt.wait()
-        self.log_samples(int(self.state.step))
+        if not self._stop.is_set():
+            self.log_samples(int(self.state.step))
         return self.state

@@ -103,6 +103,34 @@ def test_train_checkpoint_resume(tmp_path, mock_ds):
     assert changed
 
 
+def test_sigterm_graceful_checkpoint(tmp_path, mock_ds):
+    """Preemption safety: SIGTERM mid-run exits the loop cleanly through a
+    forced checkpoint (TPU VMs get SIGTERM on preemption), and a fresh
+    Trainer resumes from it."""
+    import signal
+    import threading
+
+    cfg = e2e_config(tmp_path, mock_ds, n_epochs=10**6)  # can't finish
+    ds = make_dataset(cfg)
+    trainer = Trainer(cfg, ds)
+    before_handler = signal.getsignal(signal.SIGTERM)
+    timer = threading.Timer(3.0, lambda: signal.raise_signal(signal.SIGTERM))
+    timer.start()
+    try:
+        state = trainer.train()  # returns instead of dying
+    finally:
+        timer.cancel()
+    assert trainer._stop.is_set()
+    assert trainer.ckpt.latest_step() == int(state.step)
+    log_text = (Path(cfg.log_dir) / cfg.experiment_name / "log").read_text()
+    assert "interrupted" in log_text
+    # SIGTERM handler restored to its pre-train() disposition
+    assert signal.getsignal(signal.SIGTERM) is before_handler
+
+    resumed = Trainer(e2e_config(tmp_path, mock_ds, n_epochs=10**6), ds)
+    assert int(resumed.state.step) == int(state.step)
+
+
 def test_infer_cli_roundtrip(tmp_path, mock_ds):
     # train one step, then run the inference CLI against the run dir
     cfg = e2e_config(tmp_path, mock_ds, n_epochs=1)

@@ -270,3 +270,93 @@ def test_shared_fakes_flag():
     s1b, m1b = gan.jitted_train_step(state, batch, prng.base_key(7))
     for k in m1:
         assert float(m1[k]) == float(m1b[k]), k
+
+
+def test_critic_joint_batch_flag():
+    """critic_joint_batch: each D-phase critic runs once on [real; fake]
+    (2B). All five models update, losses are finite and deterministic, and
+    when real == fake the split logits halves agree (same samples through
+    the same joint-BN forward), making each D loss its exact fixed point
+    value for that degenerate input."""
+    cfg = tiny_config(
+        trainer={
+            "precision": "float32",
+            "donate_state": False,
+            "critic_joint_batch": True,
+        }
+    )
+    gan = DCVGAN(cfg)
+    state = gan.init_state(prng.base_key(0))
+    batch = jax.device_put(fake_batch())
+
+    s1, m1 = gan.jitted_train_step(state, batch, prng.base_key(7))
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), k
+    for name in ("ggen", "cgen", "idis", "vdis", "gdis"):
+        before = jax.tree.leaves(getattr(state, name).params)[0]
+        after = jax.tree.leaves(getattr(s1, name).params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after)), name
+    # deterministic given (state, batch, key)
+    _, m1b = gan.jitted_train_step(state, batch, prng.base_key(7))
+    for k in m1:
+        assert float(m1[k]) == float(m1b[k]), k
+
+    # degenerate oracle: feed the generator's own (eval-mode) samples as the
+    # "real" batch with noise off -> y_real and y_fake see identical inputs
+    # through one joint forward, so D losses hit the exact symmetric value
+    # loss.dis(y, y) regardless of BN, on a no-noise config
+    cfg_nn = tiny_config(
+        idis={"use_noise": False, "ndf": 8},
+        vdis={"use_noise": False, "ndf": 8},
+        gdis={"use_noise": False, "ndf": 8},
+        trainer={
+            "precision": "float32",
+            "donate_state": False,
+            "critic_joint_batch": True,
+            "shared_fakes": True,
+        },
+    )
+    gan_nn = DCVGAN(cfg_nn)
+    st = gan_nn.init_state(prng.base_key(0))
+    key = prng.base_key(3)
+    # reproduce the step's fake draw: train-mode generator forward under the
+    # step's key schedule (step counter = 1)
+    kstep = prng.for_step(key, jnp.asarray(1, jnp.int32))
+    kg = prng.named(kstep, "g_fake")
+    xg_f = gan_nn.ggen.apply(
+        {"params": st.ggen.params, "batch_stats": st.ggen.batch_stats},
+        2, train=True, rngs={"latent": prng.named(kg, "ggen_motion")},
+        mutable=["batch_stats"],
+    )[0]
+    xc_f = gan_nn.cgen.apply(
+        {"params": st.cgen.params, "batch_stats": st.cgen.batch_stats},
+        xg_f, train=True,
+        rngs={"latent": prng.named(kg, "cgen_color"),
+              "dropout": prng.named(kg, "cgen_dropout")},
+        mutable=["batch_stats"],
+        method=type(gan_nn.cgen).forward_videos,
+    )[0]
+    batch_same = {
+        "color": np.asarray(xc_f, np.float32),
+        "depth": np.asarray(xg_f, np.float32),
+    }
+    _, m_same = gan_nn.jitted_train_step(st, batch_same, key)
+    # BCE at y_real == y_fake: -log s(y) - log(1 - s(y)) >= 2 ln 2.
+    for k in ("loss_idis", "loss_vdis", "loss_gdis"):
+        assert float(m_same[k]) >= 2 * np.log(2.0) - 1e-4, k
+    # and with identical halves, joint-batch BN statistics coincide with
+    # per-pass statistics, so the D losses must equal the separate-forward
+    # path's exactly — the joint path computes the same function
+    cfg_sep = tiny_config(
+        idis={"use_noise": False, "ndf": 8},
+        vdis={"use_noise": False, "ndf": 8},
+        gdis={"use_noise": False, "ndf": 8},
+        trainer={
+            "precision": "float32",
+            "donate_state": False,
+            "shared_fakes": True,
+        },
+    )
+    _, m_sep = DCVGAN(cfg_sep).jitted_train_step(st, batch_same, key)
+    for k in ("loss_idis", "loss_vdis", "loss_gdis"):
+        assert float(m_same[k]) == pytest.approx(float(m_sep[k]), rel=1e-5), k
