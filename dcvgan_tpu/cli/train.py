@@ -50,12 +50,19 @@ def build_evaluator(cfg, dataset):
     if not cfg.evaluation.metrics:
         return None
     from dcvgan_tpu.eval.evaluator import Evaluator
+    from dcvgan_tpu.eval.features import FeatureExtractor
 
+    extractor = None
+    if cfg.evaluation.extractor_weights:
+        extractor = FeatureExtractor(
+            weights_path=cfg.evaluation.extractor_weights
+        )
     return Evaluator(
         metrics=cfg.evaluation.metrics,
         num_samples=cfg.evaluation.num_samples,
         batchsize=cfg.evaluation.batchsize,
         dataset=dataset,
+        extractor=extractor,
     )
 
 

@@ -128,7 +128,14 @@ class FeatureExtractor:
                 self._mean = meta.get("mean")
             else:
                 n_cls = int(params["head"]["bias"].shape[0])
-                self.model = C3DFeatures(num_classes=n_cls)
+                # width/feature_dim come from the stored tree itself so a
+                # non-default tower (e.g. tools/train_extractor.py's compact
+                # synthetic-trained one) loads without extra metadata
+                width = int(params["conv0"]["bias"].shape[0])
+                feature_dim = int(params["fc"]["bias"].shape[0])
+                self.model = C3DFeatures(
+                    num_classes=n_cls, width=width, feature_dim=feature_dim
+                )
             digest = hashlib.sha256(Path(weights_path).read_bytes()).hexdigest()
             self.fingerprint = f"{topology}-npz/sha256={digest[:16]}"
         else:
