@@ -34,7 +34,13 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 
 TRAIN_SWEEP = (20, 64, 128)  # flagship batch first, then utilization probes
-TRAIN_SCAN_STEPS = {20: 20, 64: 10, 128: 6}
+
+
+def _scan_steps(b: int) -> int:
+    """Scan length per timed run: fewer steps at bigger batches."""
+    return max(4, int(round(400 / b)))
+
+
 INFER_BATCH = 256
 INFER_SCAN_ITERS = 20
 DISPATCH_ITERS = 10
@@ -135,10 +141,12 @@ def main() -> None:
     peak = _peak_flops(device_kind)
 
     # ---- train throughput sweep: scanned on device at several batch sizes
+    # (the config's flagship batch always included, whatever it is)
+    sweep_batches = tuple(dict.fromkeys((cfg.batchsize,) + TRAIN_SWEEP))
     train_sweep = {}
-    for b in TRAIN_SWEEP:
+    for b in sweep_batches:
         device_batch = shard_batch(_make_batch(b, t, s), mesh)
-        steps = TRAIN_SCAN_STEPS[b]
+        steps = _scan_steps(b)
         iters_per_sec, flops_per_step = _train_rate(
             gan, state, key, device_batch, steps, rtt
         )
@@ -169,7 +177,7 @@ def main() -> None:
     b = cfg.batchsize
     device_batch = shard_batch(_make_batch(b, t, s), mesh)
     fast_rate, _ = _train_rate(
-        gan_fast, state, key, device_batch, TRAIN_SCAN_STEPS[b], rtt
+        gan_fast, state, key, device_batch, _scan_steps(b), rtt
     )
 
     # fastest path: shared_fakes + critic_joint_batch (each D-phase critic
@@ -177,7 +185,7 @@ def main() -> None:
     cfg_fast2 = copy.deepcopy(cfg_fast)
     cfg_fast2.trainer.critic_joint_batch = True
     fastest_rate, _ = _train_rate(
-        DCVGAN(cfg_fast2), state, key, device_batch, TRAIN_SCAN_STEPS[b], rtt
+        DCVGAN(cfg_fast2), state, key, device_batch, _scan_steps(b), rtt
     )
 
     # dispatched variant (one python call per step, chained through state)

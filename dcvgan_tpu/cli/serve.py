@@ -194,6 +194,7 @@ def serve(
     mesh=None,
 ) -> dict:
     """Run the double-buffered serving loop; return the stats record."""
+    queue_depth = max(1, queue_depth)  # 0 would drain an empty deque
     if mesh is not None:
         from dcvgan_tpu.parallel.mesh import replicate
 
@@ -265,42 +266,60 @@ class GenerationServer:
         iters_per_chunk: int = 1,
         geo_name: str = "depth",
         mesh=None,
+        queue_depth: int = 2,
     ):
         self.batchsize = batchsize
         self.iters = iters_per_chunk
         self.geo_name = geo_name
         self.n_chips = 1 if mesh is None else mesh.size
+        self.queue_depth = max(1, queue_depth)
         if mesh is not None:
             from dcvgan_tpu.parallel.mesh import replicate
 
             state = replicate(state, mesh)
         self.state = state
         self.chunk_fn = make_chunk_fn(gan, batchsize, iters_per_chunk, mesh)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # device dispatch order
+        self._counter_lock = threading.Lock()
         self._t0 = time.perf_counter()
         self.counters = {"requests": 0, "videos_served": 0, "errors": 0}
         int(self.chunk_fn(state, prng.base_key(0))[0])  # compile + warm
 
+    def count(self, name: str, inc: int = 1) -> None:
+        with self._counter_lock:
+            self.counters[name] += inc
+
     def generate(self, n: int, seed: int, with_geo: bool = False):
-        """Return (geo | None, color) uint8 arrays of exactly n videos."""
+        """Return (geo | None, color) uint8 arrays of exactly n videos.
+
+        Keeps at most ``queue_depth`` chunks in flight: chunk k+1..k+depth
+        dispatch while chunk k is fetched, bounding device-resident output
+        buffers (a large n must not enqueue its whole request on the chip).
+        """
         per_chunk = self.batchsize * self.iters
         n_chunks = (n + per_chunk - 1) // per_chunk
         key = prng.base_key(seed)
-        with self._lock:
-            handles = [
-                self.chunk_fn(self.state, prng.for_step(key, k))
-                for k in range(n_chunks)
-            ]  # async dispatch: all chunks enqueue on device immediately
+        pending: deque = deque()
         xgs, xcs = [], []
-        for csum, xg, xc in handles:
+
+        def drain_one():
+            csum, xg, xc = pending.popleft()
             int(csum)
             xcs.append(np.asarray(xc).reshape((-1,) + xc.shape[2:]))
             if with_geo:
                 xgs.append(np.asarray(xg).reshape((-1,) + xg.shape[2:]))
+
+        for k in range(n_chunks):
+            with self._lock:
+                pending.append(self.chunk_fn(self.state, prng.for_step(key, k)))
+            while len(pending) >= self.queue_depth:
+                drain_one()
+        while pending:
+            drain_one()
         color = np.concatenate(xcs)[:n]
         geo = np.concatenate(xgs)[:n] if with_geo else None
-        self.counters["requests"] += 1
-        self.counters["videos_served"] += n
+        self.count("requests")
+        self.count("videos_served", n)
         return geo, color
 
     def info(self) -> dict:
@@ -336,7 +355,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, self.gen.info())
             return
         if url.path == "/stats":
-            self._json(200, dict(self.gen.counters, **self.gen.info()))
+            with self.gen._counter_lock:
+                counters = dict(self.gen.counters)
+            self._json(200, dict(counters, **self.gen.info()))
             return
         if url.path != "/generate":
             self._json(404, {"error": f"unknown path {url.path}"})
@@ -349,7 +370,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not 1 <= n <= 65536:
                 raise ValueError(f"n={n} out of range [1, 65536]")
         except ValueError as e:
-            self.gen.counters["errors"] += 1
+            self.gen.count("errors")
             self._json(400, {"error": str(e)})
             return
         try:
@@ -362,7 +383,7 @@ class _Handler(BaseHTTPRequestHandler):
                 np.save(buf, color)
                 ctype = "application/x-npy"
         except Exception as e:  # chip/transfer failure -> 500, keep serving
-            self.gen.counters["errors"] += 1
+            self.gen.count("errors")
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
         body = buf.getvalue()
@@ -429,6 +450,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             iters_per_chunk=args.iters_per_chunk,
             geo_name=cfg.geometric_info.name,
             mesh=mesh,
+            queue_depth=args.queue_depth,
         )
         httpd = serve_http(gen, args.listen)
         print(

@@ -6,6 +6,7 @@ Usage: ``python -m dcvgan_tpu.cli.train --config configs/mug-depth.yml``
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 from typing import Optional, Sequence
 
 from dcvgan_tpu.config import load_config
@@ -19,8 +20,6 @@ def build_dataset(cfg) -> VideoDataset:
     # Unknown dataset names are still trainable when a preprocessed tree
     # already exists on disk (the reference's eval() dispatch would die here,
     # /root/reference/src/train.py:95); only a cold start needs the registry.
-    from pathlib import Path
-
     try:
         preprocess_func = get_preprocessor(cfg.dataset.name)
     except KeyError:
@@ -54,9 +53,21 @@ def build_evaluator(cfg, dataset):
 
     extractor = None
     if cfg.evaluation.extractor_weights:
-        extractor = FeatureExtractor(
-            weights_path=cfg.evaluation.extractor_weights
-        )
+        path = Path(cfg.evaluation.extractor_weights)
+        if not path.exists() and not path.is_absolute():
+            # repo-root fallback: provenance configs store the repo-relative
+            # path (e.g. assets/extractor-synthetic.npz) and training may be
+            # launched from elsewhere
+            repo_root = Path(__file__).resolve().parent.parent.parent
+            candidate = repo_root / path
+            if candidate.exists():
+                path = candidate
+        if not path.exists():
+            raise FileNotFoundError(
+                f"evaluation.extractor_weights not found: "
+                f"{cfg.evaluation.extractor_weights}"
+            )
+        extractor = FeatureExtractor(weights_path=str(path))
     return Evaluator(
         metrics=cfg.evaluation.metrics,
         num_samples=cfg.evaluation.num_samples,

@@ -166,18 +166,15 @@ class EvaluationConfig:
     # Path to feature-extractor weights (.npz from tools/convert_c3d.py or
     # tools/train_extractor.py). None = the fixed seeded extractor
     # (relative tracking only). Every score record carries the extractor
-    # fingerprint either way.
+    # fingerprint either way. Relative paths resolve against the CWD, then
+    # the repo root (resolution + existence are checked where the extractor
+    # is actually built, so run dirs whose provenance config carries this
+    # field stay loadable for infer/serve from any CWD).
     extractor_weights: Optional[str] = None
 
     def validate(self) -> None:
         if self.batchsize <= 0 or self.num_samples <= 0:
             raise ConfigError("evaluation.batchsize/num_samples must be positive")
-        if self.extractor_weights is not None and not Path(
-            self.extractor_weights
-        ).exists():
-            raise ConfigError(
-                f"evaluation.extractor_weights not found: {self.extractor_weights}"
-            )
         for m in self.metrics:
             if m not in VALID_METRICS:
                 raise ConfigError(

@@ -31,6 +31,38 @@ N_VIDEOS = 64
 N_FRAMES = 24
 
 
+def gradient_background(s: int, angle: float) -> np.ndarray:
+    """(s, s) uint8 luminance gradient at ``angle``."""
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    return (
+        (np.cos(angle) * xx + np.sin(angle) * yy) / s * 80 + 60
+    ).astype(np.uint8)
+
+
+def bouncing_rect_trajectory(
+    s: int, n: int, x: float, y: float, vx: float, vy: float, size: int
+):
+    """``n`` integer top-left positions of an elastically bouncing rect."""
+    traj = []
+    for _ in range(n):
+        traj.append((int(round(x)), int(round(y))))
+        x, y = x + vx, y + vy
+        if x < 0 or x > s - size:
+            vx, x = -vx, float(np.clip(x, 0, s - size))
+        if y < 0 or y > s - size:
+            vy, y = -vy, float(np.clip(y, 0, s - size))
+    return traj
+
+
+def render_color_frame(
+    bg: np.ndarray, color, size: int, xi: int, yi: int
+) -> np.ndarray:
+    """Paint the rect onto a 3-channel copy of the gradient background."""
+    frame = np.stack([bg] * 3, axis=-1).astype(np.uint8)
+    frame[yi : yi + size, xi : xi + size] = color
+    return frame
+
+
 @register("synthetic")
 def preprocess_synthetic_dataset(
     dataset_path: Path,
@@ -46,7 +78,6 @@ def preprocess_synthetic_dataset(
     s = img_size
     rng = np.random.default_rng(0)
     lines = []
-    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
 
     for n in range(1, N_VIDEOS + 1):
         vdir = save_path / str(n)
@@ -58,32 +89,24 @@ def preprocess_synthetic_dataset(
         size = int(rng.integers(s // 8, s // 3))
         x, y = rng.uniform(0, s - size, 2)
         vx, vy = rng.uniform(-3, 3, 2) * s / 64.0
-        bg_angle = rng.uniform(0, 2 * np.pi)
-        bg = (
-            (np.cos(bg_angle) * xx + np.sin(bg_angle) * yy) / s * 80 + 60
-        ).astype(np.uint8)
+        bg = gradient_background(s, rng.uniform(0, 2 * np.pi))
 
         part_id = int(rng.integers(1, 25))  # SURREAL-style part label
+        # N_FRAMES positions + one beyond for the last frame's flow target
+        traj = bouncing_rect_trajectory(s, N_FRAMES + 1, x, y, vx, vy, size)
         flow = np.zeros((N_FRAMES, s, s, 2), np.float32)
         segm = np.zeros((N_FRAMES, s, s), np.uint8)
         for j in range(N_FRAMES):
-            frame = np.stack([bg] * 3, axis=-1).astype(np.uint8)
+            xi, yi = traj[j]
+            frame = render_color_frame(bg, color, size, xi, yi)
             depth = np.full((s, s), 220, np.uint8)  # far background
-            xi, yi = int(round(x)), int(round(y))
-            frame[yi : yi + size, xi : xi + size] = color
             depth[yi : yi + size, xi : xi + size] = 60  # near shape
             segm[j, yi : yi + size, xi : xi + size] = part_id
             write_img(frame, vdir / "color" / f"{j:03d}.jpg")
             write_img(depth, vdir / "depth" / f"{j:03d}.jpg", grayscale=True)
-
-            x, y = x + vx, y + vy
-            if x < 0 or x > s - size:
-                vx, x = -vx, np.clip(x, 0, s - size)
-            if y < 0 or y > s - size:
-                vy, y = -vy, np.clip(y, 0, s - size)
             # analytic flow at frame j: displacement to frame j+1, inside
             # the shape region only (background is static)
-            xn, yn = int(round(x)), int(round(y))
+            xn, yn = traj[j + 1]
             flow[j, yi : yi + size, xi : xi + size, 0] = float(xn - xi)
             flow[j, yi : yi + size, xi : xi + size, 1] = float(yn - yi)
         np.save(vdir / "optical-flow.npy", flow)

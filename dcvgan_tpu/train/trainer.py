@@ -104,9 +104,10 @@ class Trainer:
         tags when the rendered geometry has multiple channels (e.g. the
         HSV-wheel flow rendering)."""
         self.logger.tf_log_histogram(x[..., 0], tag, step)
-        if x.shape[-1] > 1:
-            for c in range(x.shape[-1]):
-                self.logger.tf_log_histogram(x[..., c], f"{tag}/ch{c}", step)
+        # channel 0 already lives under the base tag; only the extra
+        # channels get per-channel tags
+        for c in range(1, x.shape[-1]):
+            self.logger.tf_log_histogram(x[..., c], f"{tag}/ch{c}", step)
 
     def log_samples(self, iteration: int) -> None:
         """5×5 grid of geometry|color sample videos + histograms to TB
@@ -189,7 +190,16 @@ class Trainer:
                 prev_handlers[sig] = signal.signal(
                     sig, lambda *_: self._stop.set()
                 )
+        try:
+            return self._train_loop(cfg, logger)
+        finally:
+            # restored only AFTER the final forced checkpoint: repeated
+            # SIGTERMs during the save must not kill the very write the
+            # trap exists to protect
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
 
+    def _train_loop(self, cfg, logger) -> GANState:
         logger.define("loss_gen", MetricType.Loss)
         logger.define("loss_idis", MetricType.Loss)
         logger.define("loss_vdis", MetricType.Loss)
@@ -271,8 +281,6 @@ class Trainer:
         finally:
             if cfg.trainer.profile:
                 jax.profiler.stop_trace()
-            for sig, handler in prev_handlers.items():
-                signal.signal(sig, handler)
 
         if self._stop.is_set():
             logger.info(

@@ -24,9 +24,6 @@ import numpy as np
 SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
 TEXT, TEXT2, GRID = "#0b0b0b", "#52514e", "#e6e5e1"
 
-ROW_RE = re.compile(r"^\[[^\]]+\]\s+(\d[\d\s.eE+-]*)$")
-
-
 def parse_log(run_dir: Path):
     """Extract (header, rows) from the fixed-width metric table in the log."""
     header = None

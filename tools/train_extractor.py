@@ -42,11 +42,18 @@ NUM_CLASSES = N_DIRECTIONS * N_SIZES
 def synth_labeled_batch(rng: np.random.Generator, batch: int, t: int, s: int):
     """Generate (videos uint8 (B,T,s,s,3), labels (B,)) moving-shape clips.
 
-    Same visual family as data/preprocess/synthetic.py: colored rectangle
-    bouncing over a gradient background. The label encodes the initial
+    Same visual family as the ``synthetic`` dataset — rendered through the
+    SAME helpers (data/preprocess/synthetic.py: gradient_background,
+    bouncing_rect_trajectory, render_color_frame), so the trained embedding
+    stays locked to what it evaluates. The label encodes the initial
     motion-direction octant and the shape-size bucket.
     """
-    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    from dcvgan_tpu.data.preprocess.synthetic import (
+        bouncing_rect_trajectory,
+        gradient_background,
+        render_color_frame,
+    )
+
     videos = np.empty((batch, t, s, s, 3), np.uint8)
     labels = np.empty((batch,), np.int32)
     size_edges = np.linspace(s // 8, s // 3, N_SIZES + 1)
@@ -60,20 +67,10 @@ def synth_labeled_batch(rng: np.random.Generator, batch: int, t: int, s: int):
         angle = (direction + rng.uniform(0.1, 0.9)) * (2 * np.pi / N_DIRECTIONS)
         speed = rng.uniform(1.5, 3.0) * s / 64.0
         vx, vy = speed * np.cos(angle), speed * np.sin(angle)
-        bg_angle = rng.uniform(0, 2 * np.pi)
-        bg = (
-            (np.cos(bg_angle) * xx + np.sin(bg_angle) * yy) / s * 80 + 60
-        ).astype(np.uint8)
-        for j in range(t):
-            frame = np.stack([bg] * 3, axis=-1)
-            xi, yi = int(round(x)), int(round(y))
-            frame[yi : yi + size, xi : xi + size] = color
-            videos[b, j] = frame
-            x, y = x + vx, y + vy
-            if x < 0 or x > s - size:
-                vx, x = -vx, float(np.clip(x, 0, s - size))
-            if y < 0 or y > s - size:
-                vy, y = -vy, float(np.clip(y, 0, s - size))
+        bg = gradient_background(s, rng.uniform(0, 2 * np.pi))
+        traj = bouncing_rect_trajectory(s, t, x, y, vx, vy, size)
+        for j, (xi, yi) in enumerate(traj):
+            videos[b, j] = render_color_frame(bg, color, size, xi, yi)
         labels[b] = direction * N_SIZES + size_bucket
     return videos, labels
 
