@@ -23,8 +23,8 @@ bench:  ## one-line JSON throughput benchmark
 cpu-ratio:  ## controlled same-host torch-vs-jax step-rate ratio (BASELINE.md)
 	python tools/bench_reference_cpu.py
 
-serve-demo:  ## sustained serving loop against the committed demo run
-	python -m dcvgan_tpu.cli.serve result/synthetic/synthetic-depth -1 \
+serve-demo:  ## sustained serving loop against a local demo run
+	python -m dcvgan_tpu.cli.serve result/synthetic/demo-synthetic-depth -1 \
 		--batchsize 256 --iters-per-chunk 4 --chunks 8 --sink null
 
 train-debug:  ## CPU-runnable end-to-end slice on the mock dataset
