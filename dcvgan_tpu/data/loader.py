@@ -61,12 +61,20 @@ class VideoLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        # one long-lived decode pool (per-batch construction would churn
+        # n_workers threads on the host hot path)
+        self._pool = ThreadPoolExecutor(max_workers=self.n_workers)
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batchsize
-        return (n + self.batchsize - 1) // self.batchsize
+        full = n // self.batchsize
+        rem = n % self.batchsize
+        # a trailing partial batch is usable only when every host gets an
+        # equal non-empty slice — otherwise per-host shapes would diverge
+        # and cross-process assembly fails
+        if not self.drop_last and rem and rem % self.process_count == 0:
+            full += 1
+        return full
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -84,19 +92,22 @@ class VideoLoader:
             rng = np.random.default_rng((self.seed, epoch, b, int(pos)))
             return self.dataset.sample(int(i), rng)
 
-        with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
-            samples = list(pool.map(load_one, enumerate(indices)))
+        samples = list(self._pool.map(load_one, enumerate(indices)))
         return {
             k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
         }
+
+    def _local_slice(self, global_idx: np.ndarray) -> np.ndarray:
+        """This host's equal share of a (possibly partial) global batch."""
+        lb = len(global_idx) // self.process_count
+        return global_idx[self.process_index * lb : (self.process_index + 1) * lb]
 
     def fetch_batch(self, epoch: int) -> Dict[str, np.ndarray]:
         """Load this host's first batch of ``epoch`` synchronously — no
         prefetch queue or producer thread. For one-shot consumers (sample
         logging, eval reals) that only need a single batch."""
         order = self._epoch_indices(epoch)
-        lo = self.process_index * self.local_batchsize
-        local_idx = order[: self.batchsize][lo : lo + self.local_batchsize]
+        local_idx = self._local_slice(order[: self.batchsize])
         return self._load_batch(local_idx, epoch, 0)
 
     def epoch_iterator(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
@@ -106,7 +117,6 @@ class VideoLoader:
             self.epoch += 1
         order = self._epoch_indices(epoch)
         n_batches = len(self)
-        lo = self.process_index * self.local_batchsize
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -129,7 +139,7 @@ class VideoLoader:
                     if stop.is_set():
                         return
                     global_idx = order[b * self.batchsize : (b + 1) * self.batchsize]
-                    local_idx = global_idx[lo : lo + self.local_batchsize]
+                    local_idx = self._local_slice(global_idx)
                     if not put(self._load_batch(local_idx, epoch, b)):
                         return
             except BaseException as e:  # surface worker errors to the consumer

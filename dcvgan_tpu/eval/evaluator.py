@@ -115,10 +115,12 @@ class Evaluator:
             if m == "is":
                 scores["is"] = inception_score(probs)
             elif m in ("fid", "fvd"):
-                assert ref_feats is not None, f"{m} needs ref_dir"
+                if ref_feats is None:
+                    raise ValueError(f"{m} needs ref_dir")
                 scores[m] = frechet_distance(feats, ref_feats)
             elif m == "prd":
-                assert ref_feats is not None, "prd needs ref_dir"
+                if ref_feats is None:
+                    raise ValueError("prd needs ref_dir")
                 prec, rec = prd_curve(ref_feats, feats)
                 scores["prd"], scores["prd_f1_8"] = prd_f_beta(prec, rec)
             else:

@@ -188,11 +188,16 @@ class FeatureExtractor:
         feats, probs = [], []
         n = videos_uint8.shape[0]
         for s in range(0, n, batchsize):
-            f, p = self._embed(
-                self.variables, jnp.asarray(videos_uint8[s : s + batchsize])
-            )
-            feats.append(np.asarray(f))
-            probs.append(np.asarray(p))
+            chunk = videos_uint8[s : s + batchsize]
+            pad = batchsize - chunk.shape[0]
+            if pad and n > batchsize:
+                # pad the ragged tail to the jitted shape: one compiled
+                # signature regardless of N % batchsize
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            f, p = self._embed(self.variables, jnp.asarray(chunk))
+            take = batchsize - pad if pad and n > batchsize else chunk.shape[0]
+            feats.append(np.asarray(f)[:take])
+            probs.append(np.asarray(p)[:take])
         return np.concatenate(feats), np.concatenate(probs)
 
 

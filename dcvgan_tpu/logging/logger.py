@@ -79,8 +79,10 @@ class Logger:
         out_path = Path(out_path)
         out_path.mkdir(parents=True, exist_ok=True)
         self.path = out_path
+        # name by the FULL resolved path: two Loggers with the same leaf
+        # directory name must not share (and clobber) each other's handlers
         self._logger = self._new_logging_module(
-            f"dcvgan.{out_path.name}", out_path / "log"
+            f"dcvgan.{Path(out_path).resolve()}", out_path / "log"
         )
 
         self.metrics: "OrderedDict[str, Metric]" = OrderedDict()
@@ -106,6 +108,8 @@ class Logger:
         date_format = "%Y-%m-%d %H:%M:%S"
         logger = logging.getLogger(name)
         logger.setLevel(logging.DEBUG)
+        for h in logger.handlers:  # re-created logger for the same dir
+            h.close()
         logger.handlers.clear()
         ch = logging.StreamHandler()
         ch.setLevel(logging.DEBUG)
@@ -175,12 +179,19 @@ class Logger:
         raise AssertionError(m.mtype)
 
     def print_header(self) -> None:
+        self._header_columns = list(self.metrics)
         self.info("".join(f"{name:>15} " for name in self.metrics))
 
     def log(self, x_axis_metric: str = "iteration") -> None:
         """Flush: scalars to TB, one fixed-width row to console/file."""
         self.update("elapsed_time", time.time())
         self.tf_log_scalars(x_axis_metric)
+        # metrics defined after the last header (e.g. evaluator-derived
+        # scores) change the column set — reprint so rows stay aligned
+        if getattr(self, "_header_columns", None) is not None and (
+            self._header_columns != list(self.metrics)
+        ):
+            self.print_header()
         self.info("".join(f"{self._format(m):>15} " for m in self.metrics.values()))
 
     # ----------------------------------------------------------- tensorboard

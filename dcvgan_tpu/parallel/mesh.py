@@ -100,7 +100,8 @@ def create_mesh(
     """
     if config is not None:
         data = config.mesh.data if data is None else data
-        time = config.mesh.time
+        if time == 1:  # explicit argument wins over the config, like data
+            time = config.mesh.time
         batchsize = config.batchsize if batchsize is None else batchsize
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size

@@ -20,15 +20,13 @@ gathering the full sequence.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from dcvgan_tpu.parallel.mesh import TIME_AXIS
+from dcvgan_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
 
 
 def halo_exchange(x: jax.Array, axis_name: str, halo: int) -> jax.Array:
@@ -96,10 +94,15 @@ def time_sharded_conv3d(
         valid = jnp.where(idx == n - 1, t_ids < t_local - (kt - 1), True)
         return jnp.where(valid[None, :, None, None, None], y, 0.0)
 
+    # batch rides the data axis too — P(None, TIME_AXIS) would all-gather
+    # the batch and replicate the conv on every data-axis row
+    batch_spec = P(DATA_AXIS, TIME_AXIS) if x.shape[0] % mesh.shape[
+        DATA_AXIS
+    ] == 0 else P(None, TIME_AXIS)
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, TIME_AXIS), P()),
-        out_specs=P(None, TIME_AXIS),
+        in_specs=(batch_spec, P()),
+        out_specs=batch_spec,
     )
     return shard(x, kernel), t - kt + 1

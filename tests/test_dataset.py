@@ -155,6 +155,31 @@ def test_loader_multihost_sharding(mock_data_root):
     )
 
 
+def test_loader_partial_batch_multihost(mock_data_root):
+    """drop_last=False: a trailing partial batch is yielded only when it
+    splits evenly across hosts; otherwise it is dropped (ragged per-host
+    batches would break cross-process global-array assembly)."""
+    ds = new_mock_dataset(mock_data_root)  # 3 videos
+
+    # single host, batch 2 -> one full batch + one partial batch of 1
+    single = VideoLoader(ds, batchsize=2, seed=0, drop_last=False)
+    batches = list(single.epoch_iterator(epoch=0))
+    assert len(single) == 2 and len(batches) == 2
+    assert batches[0]["color"].shape[0] == 2
+    assert batches[1]["color"].shape[0] == 1
+
+    # two hosts, batch 2 -> the partial batch of 1 cannot split evenly:
+    # dropped consistently on BOTH hosts, and __len__ agrees
+    h0 = VideoLoader(ds, batchsize=2, seed=0, drop_last=False,
+                     process_index=0, process_count=2)
+    h1 = VideoLoader(ds, batchsize=2, seed=0, drop_last=False,
+                     process_index=1, process_count=2)
+    b0 = list(h0.epoch_iterator(epoch=0))
+    b1 = list(h1.epoch_iterator(epoch=0))
+    assert len(h0) == 1 and len(b0) == 1 and len(b1) == 1
+    assert b0[0]["color"].shape[0] == 1 and b1[0]["color"].shape[0] == 1
+
+
 def test_mp4_roundtrip(tmp_path):
     # mp4 codecs are lossy; the reference tolerated atol=2 with ffmpeg
     # (/root/reference/src/test/test_dataio.py:40-48). OpenCV's mp4v
