@@ -87,7 +87,7 @@ def make_chunk_fn(gan, batchsize: int, iters: int, mesh=None):
     def chunk_fn(state, key):
         def body(carry, i):
             k = jax.random.fold_in(key, i)
-            xg, xc = gan.sample_videos(state, k, batchsize, train=False)
+            xg, xc = gan.sample_videos(state, k, batchsize)
             xg_u8, xc_u8 = quantize(xg), quantize(xc)
             csum = jnp.sum(xc_u8, dtype=jnp.uint32) + jnp.sum(
                 xg_u8, dtype=jnp.uint32

@@ -102,16 +102,29 @@ class VideoLoader:
         lb = len(global_idx) // self.process_count
         return global_idx[self.process_index * lb : (self.process_index + 1) * lb]
 
-    def fetch_batch(self, epoch: int) -> Dict[str, np.ndarray]:
+    def fetch_batch(
+        self, epoch: int, limit: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
         """Load this host's first batch of ``epoch`` synchronously — no
         prefetch queue or producer thread. For one-shot consumers (sample
-        logging, eval reals) that only need a single batch."""
+        logging, eval reals) that only need a single batch. ``limit`` caps
+        the decoded sample count (a consumer wanting 25 videos shouldn't
+        pay for a 256-video decode)."""
         order = self._epoch_indices(epoch)
         local_idx = self._local_slice(order[: self.batchsize])
+        if limit is not None:
+            local_idx = local_idx[:limit]
         return self._load_batch(local_idx, epoch, 0)
 
-    def epoch_iterator(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield this host's batches for one epoch, with prefetching."""
+    def epoch_iterator(
+        self, epoch: Optional[int] = None, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield this host's batches for one epoch, with prefetching.
+
+        ``start_batch`` skips the epoch's first batches without decoding
+        them (mid-epoch checkpoint resume); batch numbering — and with it
+        the per-(seed, epoch, batch) crop RNG — is unchanged.
+        """
         if epoch is None:
             epoch = self.epoch
             self.epoch += 1
@@ -135,7 +148,7 @@ class VideoLoader:
 
         def producer():
             try:
-                for b in range(n_batches):
+                for b in range(start_batch, n_batches):
                     if stop.is_set():
                         return
                     global_idx = order[b * self.batchsize : (b + 1) * self.batchsize]

@@ -26,7 +26,7 @@ from dcvgan_tpu.utils.video_np import (
 @functools.lru_cache(maxsize=8)
 def _jitted_sampler(gan, batchsize: int):
     def sample(state: GANState, key: jax.Array):
-        return gan.sample_videos(state, key, batchsize, train=False)
+        return gan.sample_videos(state, key, batchsize)
 
     return jax.jit(sample)
 

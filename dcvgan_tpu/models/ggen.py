@@ -31,9 +31,11 @@ from flax import linen as nn
 
 from dcvgan_tpu.models.layers import (
     Dtype,
+    bn2d_scale_init,
     conv2d_kernel_init,
     uniform_symmetric_init,
     unfold_time,
+    up_conv,
 )
 
 
@@ -88,43 +90,19 @@ class GeometricVideoGenerator(nn.Module):
         )
         for i in range(n_up - 1):
             mult = min(8, 2 ** (n_up - 2 - i))
-            ups.append(
-                nn.ConvTranspose(
-                    features=self.ngf * mult,
-                    kernel_size=(4, 4),
-                    strides=(2, 2),
-                    padding="SAME",
-                    use_bias=False,
-                    transpose_kernel=True,
-                    dtype=self.dtype,
-                    kernel_init=conv2d_kernel_init,
-                )
-            )
+            ups.append(up_conv(self.ngf * mult, self.dtype))
         for _ in range(n_up):
             bns.append(
                 nn.BatchNorm(
                     momentum=0.9,
                     epsilon=1e-5,
                     dtype=self.dtype,
-                    scale_init=lambda key, shape, dtype=jnp.float32: (
-                        1.0 + 0.02 * jax.random.normal(key, shape, dtype)
-                    ),
+                    scale_init=bn2d_scale_init,
                     bias_init=nn.initializers.zeros,
                 )
             )
         # final stage to output channels at full resolution
-        ups.append(
-            nn.ConvTranspose(
-                features=self.channel,
-                kernel_size=(4, 4),
-                strides=(2, 2),
-                padding="SAME",
-                use_bias=False,
-                transpose_kernel=True,
-                dtype=self.dtype,
-                kernel_init=conv2d_kernel_init,
-            )
-        )
+        ups.append(up_conv(self.channel, self.dtype))
         self.ups = ups
         self.bns = bns
 

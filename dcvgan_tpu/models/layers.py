@@ -199,7 +199,7 @@ def same_pad_conv(
 
 
 def up_conv(
-    features: int, dtype: Dtype, name: str
+    features: int, dtype: Dtype, name: str | None = None
 ) -> nn.ConvTranspose:
     """Transposed conv, kernel 4 stride 2 'SAME': exactly torch
     ConvTranspose2d(k=4, s=2, p=1) output sizing (H -> 2H).

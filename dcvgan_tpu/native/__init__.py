@@ -91,11 +91,20 @@ def normalize_u8(x: np.ndarray, divisor: float, shift: float) -> np.ndarray:
 
 
 def one_hot(labels: np.ndarray, n_classes: int) -> np.ndarray:
-    """uint8 labels (…,) -> float32 one-hot (…, n_classes)."""
+    """uint8 labels (…,) -> float32 one-hot (…, n_classes).
+
+    Out-of-range labels yield an all-zero row on BOTH paths (the C++
+    kernel's semantics, matched by jax.nn.one_hot on device) — behavior
+    must not depend on whether the native build succeeded.
+    """
     lib = _get_lib()
     labels = np.ascontiguousarray(labels, dtype=np.uint8)
     if lib is None:
-        return np.eye(n_classes, dtype=np.float32)[labels]
+        eye = np.concatenate(
+            [np.eye(n_classes, dtype=np.float32),
+             np.zeros((max(0, 256 - n_classes), n_classes), np.float32)]
+        )
+        return eye[labels]
     out = np.zeros(labels.shape + (n_classes,), np.float32)
     lib.one_hot_f32(
         labels.ctypes.data, out.ctypes.data, labels.size,

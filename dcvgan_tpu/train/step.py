@@ -202,12 +202,13 @@ class DCVGAN:
         state: GANState,
         key: jax.Array,
         batchsize: int,
-        train: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """Sample (geometry, color) videos ``(B, T, H, W, C)`` in [-1, 1].
 
-        Eval mode by default (running BN stats, no dropout) — the reference
+        Always eval mode (running BN stats, no dropout) — the reference
         sets ``.eval()`` before sampling (/root/reference/src/util.py:296-297).
+        Train-mode sampling exists only inside :meth:`train_step`, which
+        threads the mutable batch statistics explicitly.
         """
         kg = prng.named(key, "ggen_motion")
         kc = prng.named(key, "cgen_color")

@@ -93,6 +93,11 @@ class Trainer:
             )
         self.state: GANState = state
         self.epoch = int(self.state.step) // max(1, len(self.loader))
+        # a mid-epoch checkpoint resumes INSIDE its epoch: the first
+        # iterator after resume skips the already-trained batches (the
+        # per-(seed, epoch, batch) shuffle/crop RNG makes the remaining
+        # batches identical to the uninterrupted run's)
+        self._resume_skip = int(self.state.step) % max(1, len(self.loader))
 
     # ------------------------------------------------------------------ logs
     def log_hparams(self) -> None:
@@ -125,7 +130,9 @@ class Trainer:
 
         # real batch for comparison (dedicated epoch id outside the training
         # sequence so the shuffle is independent but the seed stays valid)
-        real = self.loader.fetch_batch(epoch=2**31 + iteration)
+        real = self.loader.fetch_batch(
+            epoch=2**31 + iteration, limit=self.NUM_LOG
+        )
         n = min(self.NUM_LOG, real["color"].shape[0])
         rows = cols = int(np.sqrt(n))
         if rows * cols >= 1:
@@ -244,7 +251,10 @@ class Trainer:
                 if self._stop.is_set():
                     break
                 self.epoch += 1
-                for batch in self.loader.epoch_iterator(epoch=self.epoch - 1):
+                skip, self._resume_skip = self._resume_skip, 0
+                for batch in self.loader.epoch_iterator(
+                    epoch=self.epoch - 1, start_batch=skip
+                ):
                     if self._stop.is_set():
                         break
                     device_batch = shard_batch(batch, self.mesh)

@@ -44,8 +44,8 @@ def test_chunk_fn_shapes_and_determinism():
     # pixels that can quantize to the same uint8)
     import jax
 
-    f0 = gan.sample_videos(state, jax.random.fold_in(key, 0), 2, train=False)
-    f1 = gan.sample_videos(state, jax.random.fold_in(key, 1), 2, train=False)
+    f0 = gan.sample_videos(state, jax.random.fold_in(key, 0), 2)
+    f1 = gan.sample_videos(state, jax.random.fold_in(key, 1), 2)
     assert not np.allclose(np.asarray(f0[1]), np.asarray(f1[1]))
     # same key -> identical chunk (serving is replayable)
     csum2, _, xc2 = chunk_fn(state, key)
