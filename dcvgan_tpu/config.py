@@ -417,7 +417,14 @@ def migrate_legacy_schema(raw: Dict[str, Any]) -> Dict[str, Any]:
             raise ConfigError(f"unknown geometric_info {gi!r}")
         raw["geometric_info"] = {"name": gi, "channel": GEOMETRIC_INFO_CHANNELS[gi]}
     # Drop optimizer keys the schema doesn't know rather than failing on
-    # forward-compat additions inside model blocks we control ourselves.
+    # forward-compat additions inside model blocks (e.g. a reference YAML
+    # variant adding `optimizer.betas`). Everything outside these blocks
+    # stays strict (_build_dataclass raises on unknown keys).
+    _known_opt = {f.name for f in dataclasses.fields(OptimizerConfig)}
+    for block in ("ggen", "cgen", "idis", "vdis", "gdis"):
+        opt = raw.get(block, {}).get("optimizer") if isinstance(raw.get(block), dict) else None
+        if isinstance(opt, dict):
+            raw[block]["optimizer"] = {k: v for k, v in opt.items() if k in _known_opt}
     return raw
 
 

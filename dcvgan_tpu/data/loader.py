@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -44,6 +45,7 @@ class VideoLoader:
         prefetch: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        shard_divisor: int = 1,
     ):
         if batchsize % process_count != 0:
             raise ValueError(
@@ -60,10 +62,32 @@ class VideoLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        # Any yielded global batch size must be divisible by this (set it to
+        # the mesh data-axis size): a trailing partial batch that can't be
+        # sharded over the mesh is dropped instead of failing at
+        # shard_batch/device_put time.
+        self.shard_divisor = max(1, shard_divisor)
         self.epoch = 0
         # one long-lived decode pool (per-batch construction would churn
         # n_workers threads on the host hot path)
         self._pool = ThreadPoolExecutor(max_workers=self.n_workers)
+        # release the worker threads even when consumers forget close()
+        self._finalizer = weakref.finalize(
+            self, ThreadPoolExecutor.shutdown, self._pool, wait=False
+        )
+
+    def close(self) -> None:
+        """Shut down the decode pool (idempotent). Throwaway consumers
+        (tests, one-shot scripts) should call this — or use the loader as a
+        context manager — instead of leaking idle worker threads until
+        interpreter exit."""
+        self._finalizer()
+
+    def __enter__(self) -> "VideoLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -71,8 +95,14 @@ class VideoLoader:
         rem = n % self.batchsize
         # a trailing partial batch is usable only when every host gets an
         # equal non-empty slice — otherwise per-host shapes would diverge
-        # and cross-process assembly fails
-        if not self.drop_last and rem and rem % self.process_count == 0:
+        # and cross-process assembly fails — and when the mesh data axis
+        # divides it (shard_divisor), so device placement can't fail either
+        if (
+            not self.drop_last
+            and rem
+            and rem % self.process_count == 0
+            and rem % self.shard_divisor == 0
+        ):
             full += 1
         return full
 

@@ -12,10 +12,14 @@ the directories. Two paths here:
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
+import jax
 import numpy as np
+
+from dcvgan_tpu import prng
 
 from dcvgan_tpu.eval.features import FeatureExtractor, default_extractor
 from dcvgan_tpu.eval.metrics import (
@@ -26,6 +30,20 @@ from dcvgan_tpu.eval.metrics import (
 )
 from dcvgan_tpu.eval.sampler import generate_samples
 from dcvgan_tpu.utils.video_np import videos_to_uint8
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_sample_embed(gan, extractor, batchsize: int):
+    """One compiled function per (model, extractor, batchsize): eval-mode
+    sample_videos -> host-identical uint8 quantization -> feature embed,
+    entirely on device."""
+
+    @jax.jit
+    def fn(state, variables, key):
+        _, xc = gan.sample_videos(state, key, batchsize)
+        return extractor.device_embed(variables, xc)
+
+    return fn
 
 
 class Evaluator:
@@ -43,6 +61,9 @@ class Evaluator:
         self.batchsize = batchsize
         self.dataset = dataset
         self.extractor = extractor or default_extractor()
+        # <= 0 means "all": embed the full processed set, matching the
+        # reference's full-reference-set FID protocol
+        # (/root/reference/src/trainer.py:205).
         self.max_real_samples = max_real_samples
         self._real_cache = None
 
@@ -54,29 +75,63 @@ class Evaluator:
             raise ValueError("reference dataset required for fid/prd")
         # Seeded *random subset* with random temporal crops — the first-N
         # list-order sample was a biased estimate of the real distribution
-        # (VERDICT r1 weak #2).
-        n = min(len(self.dataset), self.max_real_samples)
+        # (VERDICT r1 weak #2). max_real_samples <= 0 embeds every clip.
+        n = len(self.dataset)
+        if self.max_real_samples > 0:
+            n = min(n, self.max_real_samples)
         rng = np.random.default_rng(0)
         idx = rng.choice(len(self.dataset), size=n, replace=False)
-        clips = [
-            videos_to_uint8(self.dataset.sample(int(i), rng)["color"])
-            for i in idx
-        ]
-        feats, _ = self.extractor(np.stack(clips), self.batchsize)
-        self._real_cache = feats
-        return feats
+        # Streamed in batchsize chunks: decode + embed + free, never holding
+        # more than one chunk of clips in RAM (protocol-scale real sets
+        # would otherwise stack gigabytes of uint8 on host).
+        feat_chunks = []
+        for s in range(0, n, self.batchsize):
+            clips = np.stack([
+                videos_to_uint8(self.dataset.sample(int(i), rng)["color"])
+                for i in idx[s : s + self.batchsize]
+            ])
+            f, _ = self.extractor(clips, self.batchsize)
+            feat_chunks.append(f)
+        self._real_cache = np.concatenate(feat_chunks)
+        return self._real_cache
 
     # ------------------------------------------------------------ fake side
-    def evaluate(self, gan, state, key) -> Dict[str, float]:
-        """Sample from the model and compute the configured metrics."""
+    def evaluate(self, gan, state, key, device_resident: bool = True) -> Dict[str, float]:
+        """Sample from the model and compute the configured metrics.
+
+        ``device_resident=True`` (default) fuses sample->embed into one
+        jitted per-chunk function: generated videos never leave the device;
+        only (features, probs) come home (SURVEY §3.3 "device-resident
+        FVD/IS primary"). At the reference's 10k-sample protocol scale the
+        host path would round-trip ~2 GB of uint8 video per eval. The host
+        path (``device_resident=False``) quantizes identically and scores
+        the same (tests pin equality).
+        """
+        if device_resident:
+            feats, probs = self.sample_and_embed(gan, state, key)
+            return self._score(feats, probs)
         _, xc = generate_samples(
             gan, state, key, self.num_samples, self.batchsize, with_geo=False
         )
         return self.score_videos(xc)
 
+    def sample_and_embed(self, gan, state, key, num: Optional[int] = None):
+        """Device-resident sample->embed over ceil(num/batchsize) chunks."""
+        num = self.num_samples if num is None else num
+        fn = _jitted_sample_embed(gan, self.extractor, self.batchsize)
+        feats, probs = [], []
+        for i in range((num + self.batchsize - 1) // self.batchsize):
+            f, p = fn(state, self.extractor.variables, prng.for_step(key, i))
+            feats.append(np.asarray(f))
+            probs.append(np.asarray(p))
+        return np.concatenate(feats)[:num], np.concatenate(probs)[:num]
+
     def score_videos(self, videos_uint8: np.ndarray) -> Dict[str, float]:
         """Score uint8 (N, T, H, W, 3) generated videos."""
         feats, probs = self.extractor(videos_uint8, self.batchsize)
+        return self._score(feats, probs)
+
+    def _score(self, feats: np.ndarray, probs: np.ndarray) -> Dict[str, float]:
         scores: Dict[str, float] = {}
         for m in self.metrics:
             if m == "is":
@@ -96,21 +151,34 @@ class Evaluator:
         return scores
 
     # ---------------------------------------------------- directory protocol
+    def _embed_paths(self, paths):
+        """Read + embed mp4s in bounded chunks (one chunk of decoded video
+        in RAM at a time, one compiled extractor signature)."""
+        from dcvgan_tpu.io.video import read_videos_parallel
+
+        feat_chunks, prob_chunks = [], []
+        for s in range(0, len(paths), self.batchsize):
+            videos = np.stack(read_videos_parallel(paths[s : s + self.batchsize]))
+            f, p = self.extractor(videos, self.batchsize)
+            feat_chunks.append(f)
+            prob_chunks.append(p)
+        return np.concatenate(feat_chunks), np.concatenate(prob_chunks)
+
     def evaluate_dirs(
         self, gen_dir: Path, ref_dir: Optional[Path] = None
     ) -> Dict[str, float]:
         """Score directories of mp4 files (reference evan protocol)."""
-        from dcvgan_tpu.io.video import read_videos_parallel
-
         gen_paths = sorted(Path(gen_dir).glob("*.mp4"))
-        gen_videos = np.stack(read_videos_parallel(gen_paths))
-        feats, probs = self.extractor(gen_videos, self.batchsize)
+        if not gen_paths:
+            raise FileNotFoundError(f"no .mp4 files in {gen_dir}")
+        feats, probs = self._embed_paths(gen_paths)
         scores: Dict[str, float] = {}
         ref_feats = None
         if ref_dir is not None:
-            ref_paths = sorted(Path(ref_dir).glob("*.mp4"))[: self.max_real_samples]
-            ref_videos = np.stack(read_videos_parallel(ref_paths))
-            ref_feats, _ = self.extractor(ref_videos, self.batchsize)
+            ref_paths = sorted(Path(ref_dir).glob("*.mp4"))
+            if self.max_real_samples > 0:
+                ref_paths = ref_paths[: self.max_real_samples]
+            ref_feats, _ = self._embed_paths(ref_paths)
         for m in self.metrics:
             if m == "is":
                 scores["is"] = inception_score(probs)

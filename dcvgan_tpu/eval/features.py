@@ -147,9 +147,8 @@ class FeatureExtractor:
         is_c3d = isinstance(self.model, C3D)
         mean = None if self._mean is None else jnp.asarray(self._mean)
 
-        @jax.jit
-        def embed(variables, chunk_uint8):
-            x = chunk_uint8.astype(jnp.float32)
+        def _apply(variables, x):
+            """x: float32 with uint8 integer values on the 0-255 scale."""
             if is_c3d:
                 # canonical C3D protocol: 112x112 frames, 0-255 scale,
                 # channel-mean subtraction
@@ -164,7 +163,23 @@ class FeatureExtractor:
             f, logit = self.model.apply(variables, x)
             return f, jax.nn.softmax(logit, axis=-1)
 
+        @jax.jit
+        def embed(variables, chunk_uint8):
+            return _apply(variables, chunk_uint8.astype(jnp.float32))
+
+        def device_embed(variables, videos_pm1):
+            """Traceable embed of generator output ([-1, 1] float videos),
+            for fusion under an outer jit (sample->embed never leaves the
+            device). Quantization matches the host path bit-for-bit:
+            videos_to_uint8's float32 ``((v+1)/2*255).astype(uint8)``
+            truncation (utils/video_np.py:15-23) is reproduced with floor
+            (operands are non-negative)."""
+            x = jnp.clip(videos_pm1.astype(jnp.float32), -1.0, 1.0)
+            x = jnp.floor((x + 1.0) / 2.0 * 255.0)
+            return _apply(variables, x)
+
         self._embed = embed
+        self.device_embed = device_embed
 
     @staticmethod
     def _load_npz(path: Path):
@@ -189,13 +204,14 @@ class FeatureExtractor:
         n = videos_uint8.shape[0]
         for s in range(0, n, batchsize):
             chunk = videos_uint8[s : s + batchsize]
-            pad = batchsize - chunk.shape[0]
-            if pad and n > batchsize:
-                # pad the ragged tail to the jitted shape: one compiled
-                # signature regardless of N % batchsize
-                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            take = chunk.shape[0]
+            if take < batchsize:
+                # pad EVERY ragged chunk (including n < batchsize) to the
+                # jitted shape: exactly one compiled signature per batchsize
+                chunk = np.concatenate(
+                    [chunk, chunk[-1:].repeat(batchsize - take, 0)]
+                )
             f, p = self._embed(self.variables, jnp.asarray(chunk))
-            take = batchsize - pad if pad and n > batchsize else chunk.shape[0]
             feats.append(np.asarray(f)[:take])
             probs.append(np.asarray(p)[:take])
         return np.concatenate(feats), np.concatenate(probs)

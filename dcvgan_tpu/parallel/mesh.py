@@ -88,7 +88,7 @@ def xla_bridge_initialized() -> bool:
 def create_mesh(
     config: Optional[ExperimentConfig] = None,
     data: Optional[int] = None,
-    time: int = 1,
+    time: Optional[int] = None,
     devices=None,
     batchsize: Optional[int] = None,
 ) -> Mesh:
@@ -99,10 +99,12 @@ def create_mesh(
     big hosts use a device subset rather than failing the shard).
     """
     if config is not None:
+        # explicit argument wins over the config, for both axes
         data = config.mesh.data if data is None else data
-        if time == 1:  # explicit argument wins over the config, like data
-            time = config.mesh.time
+        time = config.mesh.time if time is None else time
         batchsize = config.batchsize if batchsize is None else batchsize
+    if time is None:
+        time = 1
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data is None or data == -1:

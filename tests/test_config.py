@@ -107,3 +107,16 @@ def test_isogd_depth_matches_reference_values():
     assert cfg.gdis.ndf == 32
     assert cfg.evaluation.num_samples == 3000
     assert cfg.num_gen_update == 1 and cfg.num_dis_update == 1
+
+
+def test_unknown_optimizer_keys_dropped_in_model_blocks():
+    """Forward-compat: unknown keys inside a model block's optimizer dict
+    are dropped during migration (e.g. a reference-YAML variant carrying
+    `betas`); unknown keys anywhere else stay a hard error (VERDICT r2 #7)."""
+    cfg = ExperimentConfig.from_dict(
+        {"ggen": {"optimizer": {"lr": 1e-3, "betas": [0.5, 0.999]}}}
+    )
+    assert cfg.ggen.optimizer.lr == 1e-3
+    # outside optimizer blocks the schema is still strict
+    with pytest.raises(ConfigError, match="unknown config key"):
+        ExperimentConfig.from_dict({"ggen": {"not_a_field": 1}})

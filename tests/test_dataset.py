@@ -299,3 +299,31 @@ def test_train_cli_registry_fallback(mock_data_root, tmp_path):
     cfg.dataset.name = "missing-and-no-tree"
     with pytest.raises(KeyError):
         build_dataset(cfg)
+
+
+def test_loader_shard_divisor_drops_unshardable_partial(mock_data_root):
+    """drop_last=False + shard_divisor (mesh data-axis size): a trailing
+    partial batch the mesh cannot shard is dropped instead of failing at
+    device_put (ADVICE r2)."""
+    ds = new_mock_dataset(mock_data_root)  # 3 videos
+
+    # batch 2, divisor 1 -> partial batch of 1 is yielded
+    plain = VideoLoader(ds, batchsize=2, seed=0, drop_last=False)
+    assert len(plain) == 2
+    # divisor 2 -> the partial batch of 1 is not divisible: dropped
+    sharded = VideoLoader(ds, batchsize=2, seed=0, drop_last=False,
+                          shard_divisor=2)
+    batches = list(sharded.epoch_iterator(epoch=0))
+    assert len(sharded) == 1 and len(batches) == 1
+    assert batches[0]["color"].shape[0] == 2
+    plain.close(), sharded.close()
+
+
+def test_loader_close_shuts_down_pool(mock_data_root):
+    ds = new_mock_dataset(mock_data_root)
+    with VideoLoader(ds, batchsize=2, seed=0) as loader:
+        next(iter(loader.epoch_iterator(epoch=0)))
+    # pool is down: further decode submissions must fail
+    with pytest.raises(RuntimeError):
+        loader._pool.submit(lambda: None)
+    loader.close()  # idempotent

@@ -153,3 +153,83 @@ def test_evaluate_cli(tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         eval_main([str(gen_dir), "--metrics", "fid"])
+
+
+def test_real_features_streaming_and_full_set(extractor):
+    """max_real_samples <= 0 embeds the full set; streaming in chunks
+    matches a one-shot stacked embed (VERDICT r2 #5)."""
+    real = fake_videos(10, seed=7)
+    ev = Evaluator(metrics=["fid"], num_samples=4, batchsize=4,
+                   dataset=ArrayDataset(real), extractor=extractor,
+                   max_real_samples=0)
+    feats = ev._real_features()
+    assert feats.shape[0] == 10
+    # reproduce the expected sampling stream and compare chunked vs stacked
+    from dcvgan_tpu.utils.video_np import videos_to_uint8
+
+    rng = np.random.default_rng(0)
+    idx = rng.choice(10, size=10, replace=False)
+    clips = videos_to_uint8(real[idx].astype(np.float32) / 127.5 - 1.0)
+    expect, _ = extractor(clips, 4)
+    np.testing.assert_allclose(feats, expect, rtol=0, atol=1e-5)
+    # positive cap still limits the subset size
+    capped = Evaluator(metrics=["fid"], num_samples=4, batchsize=4,
+                       dataset=ArrayDataset(real), extractor=extractor,
+                       max_real_samples=4)
+    assert capped._real_features().shape[0] == 4
+
+
+def test_extractor_single_compiled_signature(extractor):
+    """Every ragged chunk is padded to the jitted batch shape: one compiled
+    signature per batchsize regardless of N (VERDICT r2 #6)."""
+    before = extractor._embed._cache_size()
+    for n in (3, 2, 5, 8):
+        f, p = extractor(fake_videos(n, seed=n), 4)
+        assert f.shape[0] == n and p.shape[0] == n
+    assert extractor._embed._cache_size() - before <= 1
+
+
+def test_evaluate_dirs_chunked_matches_batch(tmp_path, extractor):
+    """Chunked directory embedding must score identically to small-set
+    whole-directory reads, and empty dirs fail loudly."""
+    from dcvgan_tpu.io.video import write_videos_parallel
+
+    gen_dir = tmp_path / "gen"
+    gen_dir.mkdir()
+    vids = fake_videos(5, seed=9)  # 5 % batchsize(2) != 0: ragged tail
+    write_videos_parallel(vids, [gen_dir / f"{i}.mp4" for i in range(5)])
+    ev = Evaluator(metrics=["is"], num_samples=5, batchsize=2,
+                   extractor=extractor)
+    scores = ev.evaluate_dirs(gen_dir)
+    assert scores["is"] >= 1.0
+    with pytest.raises(FileNotFoundError):
+        ev.evaluate_dirs(tmp_path / "empty")
+
+
+def test_device_resident_eval_matches_host_path(extractor):
+    """Fused sample->embed (videos never leave the device) must score
+    identically to the host uint8 round-trip (VERDICT r2 #3): quantization
+    is bit-matched, so features agree to float tolerance."""
+    from dcvgan_tpu import prng
+    from dcvgan_tpu.config import ExperimentConfig
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = ExperimentConfig.from_dict({
+        "batchsize": 2,
+        "geometric_info": {"name": "depth", "channel": 1},
+        "ggen": {"dim_z_content": 8, "dim_z_motion": 4, "ngf": 8},
+        "cgen": {"dim_z_color": 4, "ngf": 8},
+        "idis": {"ndf": 8}, "vdis": {"ndf": 8}, "gdis": {"ndf": 8},
+        "trainer": {"precision": "float32", "donate_state": False},
+    })
+    gan = DCVGAN(cfg)
+    state = gan.init_state(prng.base_key(0))
+    real = fake_videos(8, seed=11)
+    ev = Evaluator(metrics=["is", "fid"], num_samples=6, batchsize=4,
+                   dataset=ArrayDataset(real), extractor=extractor)
+    key = prng.base_key(42)
+    fused = ev.evaluate(gan, state, key, device_resident=True)
+    host = ev.evaluate(gan, state, key, device_resident=False)
+    assert fused.keys() == host.keys()
+    for k in fused:
+        np.testing.assert_allclose(fused[k], host[k], rtol=1e-4, atol=1e-5)

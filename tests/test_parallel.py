@@ -165,3 +165,14 @@ def test_per_replica_vs_global_bn_differ(devices):
         abs(float(m_global[k]) - float(m_local[k])) for k in m_global
     ]
     assert max(diffs) > 1e-4, "per-replica BN should differ from global BN"
+
+
+def test_create_mesh_explicit_time_one_overrides_config(devices):
+    """time=1 must be honored as an explicit argument, not read as 'unset'
+    (ADVICE r2: the old time==1 sentinel silently took the config value)."""
+    cfg = dp_config()
+    cfg.mesh.data = 2
+    cfg.mesh.time = 2
+    assert create_mesh(cfg).devices.shape == (2, 2)
+    assert create_mesh(cfg, time=1).devices.shape == (2, 1)
+    assert create_mesh(cfg, time=4).devices.shape == (2, 4)
