@@ -13,9 +13,8 @@ format:
 	python -m black dcvgan_tpu tests tools 2>/dev/null || true
 	python -m isort dcvgan_tpu tests tools 2>/dev/null || true
 
-lint:
-	python -m ruff check dcvgan_tpu tests 2>/dev/null || \
-		python -m flake8 dcvgan_tpu tests 2>/dev/null || true
+lint:  ## static gate: syntax, undefined names, unused imports, annotations
+	python tools/static_check.py
 
 bench:  ## one-line JSON throughput benchmark
 	python bench.py
@@ -33,4 +32,4 @@ train-debug:  ## CPU-runnable end-to-end slice on the mock dataset
 tb:  ## tensorboard over the default result dir
 	tensorboard --logdir result/
 
-ci: test
+ci: lint test

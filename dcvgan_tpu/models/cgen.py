@@ -18,7 +18,7 @@ batch; dropout is flax channel-dropout (broadcast over H, W) to match torch
 from __future__ import annotations
 
 import math
-from typing import Any, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ validation here would have caught the gdis/schema drift of SURVEY.md §2.3.
 from pathlib import Path
 
 import pytest
-import yaml
 
 from dcvgan_tpu.config import (
     ConfigError,

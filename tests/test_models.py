@@ -8,7 +8,6 @@ mutation, dropout determinism switches, and segmentation binarization.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

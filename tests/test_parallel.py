@@ -3,14 +3,12 @@ coverage the reference cannot have (SURVEY.md §2.5: no distributed layer).
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from dcvgan_tpu import prng
 from dcvgan_tpu.config import ExperimentConfig
 from dcvgan_tpu.parallel.mesh import (
-    DATA_AXIS,
     batch_sharding,
     create_mesh,
     replicate,

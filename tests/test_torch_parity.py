@@ -14,7 +14,6 @@ exactly for weight-port validation").
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn as tnn
 
