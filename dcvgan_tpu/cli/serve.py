@@ -39,10 +39,21 @@ chunk machinery instead of running a fixed number of chunks:
 - ``GET /stats``                       -> JSON request/video counters
 - ``GET /generate?n=16&seed=0``        -> ``.npy`` bytes, uint8 (n,T,H,W,3)
 - ``GET /generate?n=16&seed=0&geo=1``  -> ``.npz`` with ``color`` + ``geo``
+- ``POST /generate`` with a JSON body ``{"n": 16, "seed": 0, "geo": false}``
+  -> same responses as the GET form (query parameters are ignored on POST).
 
-Requests are served from pipelined device chunks (dispatch-ahead inside a
-request); device work is serialized across concurrent requests (one chip =
-one queue) while fetch/encode overlap.
+Resource bounds (explicit, not best-effort):
+
+- **Device**: at most ``queue_depth`` chunks are ever in flight on the
+  chip, so device-resident output buffers are bounded regardless of ``n``.
+- **Host**: plain color requests STREAM one fetched chunk at a time into
+  the socket (host high-water mark = one chunk, not the payload); ``geo``
+  requests are buffered (npz is not streamable) and therefore share the
+  same videos cap. Requests above ``--max-request-videos`` are rejected
+  with **413** and the exact limit in the body.
+- **Concurrency**: at most ``--max-concurrent`` requests generate at once;
+  excess requests get **429** + ``Retry-After`` instead of queueing
+  unboundedly behind the single device queue.
 """
 
 from __future__ import annotations
@@ -267,12 +278,16 @@ class GenerationServer:
         geo_name: str = "depth",
         mesh=None,
         queue_depth: int = 2,
+        max_request_videos: int = 4096,
+        max_concurrent: int = 4,
     ):
         self.batchsize = batchsize
         self.iters = iters_per_chunk
         self.geo_name = geo_name
         self.n_chips = 1 if mesh is None else mesh.size
         self.queue_depth = max(1, queue_depth)
+        self.max_request_videos = max_request_videos
+        self._admission = threading.BoundedSemaphore(max(1, max_concurrent))
         if mesh is not None:
             from dcvgan_tpu.parallel.mesh import replicate
 
@@ -282,44 +297,69 @@ class GenerationServer:
         self._lock = threading.Lock()  # device dispatch order
         self._counter_lock = threading.Lock()
         self._t0 = time.perf_counter()
-        self.counters = {"requests": 0, "videos_served": 0, "errors": 0}
-        int(self.chunk_fn(state, prng.base_key(0))[0])  # compile + warm
+        self.counters = {"requests": 0, "videos_served": 0, "errors": 0,
+                         "rejected": 0}
+        csum, _, xc = self.chunk_fn(state, prng.base_key(0))  # compile + warm
+        int(csum)
+        self.video_shape = tuple(xc.shape[2:])  # (T, H, W, C)
 
     def count(self, name: str, inc: int = 1) -> None:
         with self._counter_lock:
             self.counters[name] += inc
 
-    def generate(self, n: int, seed: int, with_geo: bool = False):
-        """Return (geo | None, color) uint8 arrays of exactly n videos.
+    def admit(self) -> bool:
+        """Non-blocking admission slot; False means the caller should 429."""
+        return self._admission.acquire(blocking=False)
+
+    def release(self) -> None:
+        self._admission.release()
+
+    def generate_chunks(self, n: int, seed: int, with_geo: bool = False):
+        """Yield ``(geo | None, color)`` uint8 chunk arrays totalling
+        exactly n videos.
 
         Keeps at most ``queue_depth`` chunks in flight: chunk k+1..k+depth
         dispatch while chunk k is fetched, bounding device-resident output
-        buffers (a large n must not enqueue its whole request on the chip).
+        buffers (a large n must not enqueue its whole request on the chip);
+        yielding per chunk bounds the HOST high-water mark the same way.
         """
         per_chunk = self.batchsize * self.iters
         n_chunks = (n + per_chunk - 1) // per_chunk
         key = prng.base_key(seed)
         pending: deque = deque()
-        xgs, xcs = [], []
+        produced = 0
 
-        def drain_one():
+        def fetch_one():
+            nonlocal produced
             csum, xg, xc = pending.popleft()
             int(csum)
-            xcs.append(np.asarray(xc).reshape((-1,) + xc.shape[2:]))
+            color = np.asarray(xc).reshape((-1,) + xc.shape[2:])
+            take = min(len(color), n - produced)
+            produced += take
+            geo = None
             if with_geo:
-                xgs.append(np.asarray(xg).reshape((-1,) + xg.shape[2:]))
+                geo = np.asarray(xg).reshape((-1,) + xg.shape[2:])[:take]
+            return geo, color[:take]
 
         for k in range(n_chunks):
             with self._lock:
                 pending.append(self.chunk_fn(self.state, prng.for_step(key, k)))
             while len(pending) >= self.queue_depth:
-                drain_one()
+                yield fetch_one()
         while pending:
-            drain_one()
-        color = np.concatenate(xcs)[:n]
-        geo = np.concatenate(xgs)[:n] if with_geo else None
+            yield fetch_one()
         self.count("requests")
         self.count("videos_served", n)
+
+    def generate(self, n: int, seed: int, with_geo: bool = False):
+        """Return (geo | None, color) uint8 arrays of exactly n videos."""
+        xgs, xcs = [], []
+        for geo, color in self.generate_chunks(n, seed, with_geo):
+            xcs.append(color)
+            if with_geo:
+                xgs.append(geo)
+        color = np.concatenate(xcs)
+        geo = np.concatenate(xgs) if with_geo else None
         return geo, color
 
     def info(self) -> dict:
@@ -362,39 +402,125 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path != "/generate":
             self._json(404, {"error": f"unknown path {url.path}"})
             return
+        self._generate(parse_qs(url.query))
+
+    def do_POST(self) -> None:
+        """POST /generate with a JSON body {"n": .., "seed": .., "geo": ..}."""
+        url = urlparse(self.path)
+        if url.path != "/generate":
+            self._json(404, {"error": f"unknown path {url.path}"})
+            return
         try:
-            q = parse_qs(url.query)
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length > 1_000_000:
+                self._json(413, {"error": "request body too large"})
+                return
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self.gen.count("errors")
+            self._json(400, {"error": f"bad JSON body: {e}"})
+            return
+        self._generate({k: [str(v)] for k, v in body.items()})
+
+    def _generate(self, q: dict) -> None:
+        try:
             n = int(q.get("n", ["16"])[0])
             seed = int(q.get("seed", ["0"])[0])
-            with_geo = q.get("geo", ["0"])[0] not in ("0", "", "false")
-            if not 1 <= n <= 65536:
-                raise ValueError(f"n={n} out of range [1, 65536]")
+            with_geo = q.get("geo", ["0"])[0].lower() not in (
+                "0", "", "false", "none",
+            )
+            if n < 1:
+                raise ValueError(f"n={n} must be >= 1")
         except ValueError as e:
             self.gen.count("errors")
             self._json(400, {"error": str(e)})
             return
+        limit = self.gen.max_request_videos
+        if with_geo:
+            limit //= 2  # npz responses are buffered and carry two arrays
+        if n > limit:
+            self.gen.count("rejected")
+            self._json(
+                413,
+                {
+                    "error": f"n={n} exceeds the per-request limit {limit}"
+                    + (" (geo responses are buffered)" if with_geo else ""),
+                    "max_request_videos": limit,
+                },
+            )
+            return
+        if not self.gen.admit():
+            self.gen.count("rejected")
+            self.send_response(429)
+            body = json.dumps(
+                {"error": "server at max concurrent generate requests"}
+            ).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
+            return
         try:
-            geo, color = self.gen.generate(n, seed, with_geo)
-            buf = io.BytesIO()
             if with_geo:
-                np.savez(buf, color=color, geo=geo)
-                ctype = "application/x-npz"
+                self._respond_npz(n, seed)
             else:
-                np.save(buf, color)
-                ctype = "application/x-npy"
+                self._stream_npy(n, seed)
+        finally:
+            self.gen.release()
+
+    def _respond_npz(self, n: int, seed: int) -> None:
+        """Buffered npz response (color + geo); bounded by the videos cap."""
+        try:
+            geo, color = self.gen.generate(n, seed, with_geo=True)
+            buf = io.BytesIO()
+            np.savez(buf, color=color, geo=geo)
         except Exception as e:  # chip/transfer failure -> 500, keep serving
             self.gen.count("errors")
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
         body = buf.getvalue()
         self.send_response(200)
-        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Type", "application/x-npz")
         self.send_header("Content-Length", str(len(body)))
         self.send_header("X-Video-Shape", "x".join(map(str, color.shape)))
         self.end_headers()
         self.wfile.write(body)
 
-    do_POST = do_GET
+    def _stream_npy(self, n: int, seed: int) -> None:
+        """Stream an npy payload chunk-by-chunk: the exact npy header is
+        precomputed from the known video shape, so Content-Length is exact
+        and the host never materializes more than one device chunk."""
+        shape = (n,) + self.gen.video_shape
+        hdr = io.BytesIO()
+        np.lib.format.write_array_header_1_0(
+            hdr,
+            {"descr": "|u1", "fortran_order": False, "shape": shape},
+        )
+        header = hdr.getvalue()
+        total = len(header) + int(np.prod(shape))
+        chunks = self.gen.generate_chunks(n, seed, with_geo=False)
+        try:
+            first = next(chunks)  # surface chip failures before headers go out
+        except Exception as e:
+            self.gen.count("errors")
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-npy")
+        self.send_header("Content-Length", str(total))
+        self.send_header("X-Video-Shape", "x".join(map(str, shape)))
+        self.end_headers()
+        try:
+            self.wfile.write(header)
+            self.wfile.write(np.ascontiguousarray(first[1]).data)
+            for _, color in chunks:
+                self.wfile.write(np.ascontiguousarray(color).data)
+        except Exception:  # mid-stream failure: connection dies, server lives
+            self.gen.count("errors")
+            self.close_connection = True
 
 
 def serve_http(gen: GenerationServer, port: int) -> ThreadingHTTPServer:
@@ -421,6 +547,19 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         default=None,
         metavar="PORT",
         help="start the HTTP serving endpoint instead of a fixed-chunk run",
+    )
+    parser.add_argument(
+        "--max-request-videos",
+        type=int,
+        default=4096,
+        help="per-request n cap (413 beyond it); size to host RAM — geo "
+        "requests are capped at half this because npz responses buffer",
+    )
+    parser.add_argument(
+        "--max-concurrent",
+        type=int,
+        default=4,
+        help="concurrent /generate requests admitted before 429",
     )
     parser.add_argument(
         "--mesh",
@@ -451,6 +590,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             geo_name=cfg.geometric_info.name,
             mesh=mesh,
             queue_depth=args.queue_depth,
+            max_request_videos=args.max_request_videos,
+            max_concurrent=args.max_concurrent,
         )
         httpd = serve_http(gen, args.listen)
         print(

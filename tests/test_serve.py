@@ -1,7 +1,6 @@
 """Serving loop: on-device chunked generation + double-buffered drain."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 
@@ -125,6 +124,106 @@ def test_http_endpoint():
             stats = json.loads(r.read())
         assert stats["requests"] == 3 and stats["videos_served"] == 8
         assert stats["errors"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_hardening():
+    """POST JSON semantics, exact streamed-npy framing, 413 caps, 429
+    admission control, and behavior under concurrent requests."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from dcvgan_tpu.cli.serve import GenerationServer, serve_http
+
+    _, gan, state = tiny_gan()
+    gen = GenerationServer(
+        gan, state, batchsize=2, iters_per_chunk=1,
+        max_request_videos=8, max_concurrent=2,
+    )
+    httpd = serve_http(gen, 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(url):
+        with urllib.request.urlopen(url) as r:
+            return r.read()
+
+    def expect_code(req_or_url, code):
+        try:
+            urllib.request.urlopen(req_or_url)
+            raise AssertionError(f"expected HTTP {code}")
+        except urllib.error.HTTPError as e:
+            assert e.code == code, f"expected {code}, got {e.code}"
+            return e
+
+    try:
+        # POST with a JSON body returns byte-identical output to the GET form
+        body_get = get(f"{base}/generate?n=3&seed=7")
+        req = urllib.request.Request(
+            f"{base}/generate",
+            data=json.dumps({"n": 3, "seed": 7, "geo": False}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.read() == body_get
+
+        # the hand-framed streaming response is exactly np.save's format
+        vids = np.load(io.BytesIO(body_get))
+        buf = io.BytesIO()
+        np.save(buf, vids)
+        assert buf.getvalue() == body_get
+
+        # malformed JSON body -> 400
+        bad = urllib.request.Request(
+            f"{base}/generate", data=b"{not json", method="POST"
+        )
+        expect_code(bad, 400)
+
+        # over the videos cap -> 413 with the limit in the body
+        err = expect_code(f"{base}/generate?n=9", 413)
+        assert json.loads(err.read())["max_request_videos"] == 8
+        # geo responses are buffered -> half the cap
+        expect_code(f"{base}/generate?n=5&geo=1", 413)
+
+        # both admission slots taken -> 429 with Retry-After
+        assert gen.admit() and gen.admit()
+        try:
+            err = expect_code(f"{base}/generate?n=2", 429)
+            assert err.headers["Retry-After"] == "1"
+        finally:
+            gen.release()
+            gen.release()
+
+        # concurrent burst: every response is 200 or 429, never a crash,
+        # and the server still serves afterwards
+        codes = []
+        lock = threading.Lock()
+
+        def fire():
+            try:
+                with urllib.request.urlopen(f"{base}/generate?n=2") as r:
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                code = e.code
+            with lock:
+                codes.append(code)
+
+        threads = [threading.Thread(target=fire) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert set(codes) <= {200, 429} and 200 in codes
+        assert np.load(io.BytesIO(get(f"{base}/generate?n=1"))).shape[0] == 1
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["rejected"] >= 2  # the two 413s at minimum
     finally:
         httpd.shutdown()
         httpd.server_close()
