@@ -9,6 +9,9 @@ test-fast:  ## skip the slow compile-heavy suites
 	python -m pytest tests/ -q --ignore=tests/test_e2e.py \
 		--ignore=tests/test_train_step.py --ignore=tests/test_parallel.py
 
+test-par:  ## sharded suite for multi-core hosts (pytest-xdist)
+	python -m pytest tests/ -q -n auto --dist loadfile
+
 format:
 	python -m black dcvgan_tpu tests tools 2>/dev/null || true
 	python -m isort dcvgan_tpu tests tools 2>/dev/null || true

@@ -74,3 +74,25 @@ def test_segm_color_palette_size():
         assert np.all(c >= 0) and np.all(c <= 1)
     with pytest.raises(IndexError):
         segm_color(26)
+
+
+def test_shape_probe(capsys):
+    """ShapeProbe (reference DebugLayer analogue) is identity and reports
+    shape at trace time + value stats at runtime."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcvgan_tpu.utils.debug import ShapeProbe
+
+    probe = ShapeProbe(tag="t", stats=True)
+    x = jnp.arange(12.0).reshape(3, 4)
+
+    @jax.jit
+    def f(x):
+        return probe.apply({}, x)
+
+    y = f(x)
+    jax.effects_barrier()
+    assert (y == x).all()
+    out = capsys.readouterr().out
+    assert "[shape-probe:t] (3, 4)" in out and "mean=" in out
