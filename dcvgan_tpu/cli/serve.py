@@ -42,6 +42,16 @@ chunk machinery instead of running a fixed number of chunks:
 - ``POST /generate`` with a JSON body ``{"n": 16, "seed": 0, "geo": false}``
   -> same responses as the GET form (query parameters are ignored on POST).
 
+Seeding and micro-batching: an **explicit** ``seed`` pins the request to its
+own deterministic chunk stream (same seed -> identical bytes, replayable
+serving). With ``seed`` omitted (or ``seed=auto``) the server picks the
+stream, which lets concurrent requests **coalesce into shared device
+chunks**: a micro-batcher collects every request waiting within
+``--batch-window-ms`` and serves them FIFO slices of one chunk, so ten
+concurrent ``n=3`` requests cost one ``batchsize`` dispatch instead of ten.
+(The reference has no serving path at all; this is the standard
+continuous-batching shape production video services use.)
+
 Resource bounds (explicit, not best-effort):
 
 - **Device**: at most ``queue_depth`` chunks are ever in flight on the
@@ -67,6 +77,7 @@ from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+from queue import SimpleQueue
 from typing import Optional, Sequence
 from urllib.parse import parse_qs, urlparse
 
@@ -280,6 +291,7 @@ class GenerationServer:
         queue_depth: int = 2,
         max_request_videos: int = 4096,
         max_concurrent: int = 4,
+        batch_window_ms: float = 5.0,
     ):
         self.batchsize = batchsize
         self.iters = iters_per_chunk
@@ -298,10 +310,15 @@ class GenerationServer:
         self._counter_lock = threading.Lock()
         self._t0 = time.perf_counter()
         self.counters = {"requests": 0, "videos_served": 0, "errors": 0,
-                         "rejected": 0}
+                         "rejected": 0, "batched_requests": 0,
+                         "batched_chunks": 0}
         csum, _, xc = self.chunk_fn(state, prng.base_key(0))  # compile + warm
         int(csum)
         self.video_shape = tuple(xc.shape[2:])  # (T, H, W, C)
+        self.batcher = MicroBatcher(self, window_s=batch_window_ms / 1000.0)
+
+    def close(self) -> None:
+        self.batcher.close()
 
     def count(self, name: str, inc: int = 1) -> None:
         with self._counter_lock:
@@ -374,6 +391,149 @@ class GenerationServer:
         }
 
 
+class _PendingRequest:
+    """One coalescable request: slices arrive on ``out`` as (geo, color)
+    tuples; ``None`` terminates, an Exception propagates a chunk failure."""
+
+    __slots__ = ("remaining", "with_geo", "out", "dead")
+
+    def __init__(self, n: int, with_geo: bool):
+        self.remaining = n
+        self.with_geo = with_geo
+        self.out: SimpleQueue = SimpleQueue()
+        self.dead = False  # consumer abandoned (client disconnect)
+
+
+class MicroBatcher:
+    """Coalesces concurrent seedless requests into shared device chunks.
+
+    One worker thread owns a server-side PRNG stream. Each round it waits
+    ``window_s`` for concurrent arrivals to pile up, dispatches ONE chunk
+    (under the server's device lock, so it interleaves fairly with seeded
+    requests), and deals the fetched videos to the waiting requests FIFO.
+    N concurrent small requests therefore cost ``ceil(sum(n_i)/chunk)``
+    dispatches instead of N. Host memory is bounded per request by its own
+    ``n`` (a slow consumer buffers at most its own videos, which the 413
+    cap already bounds).
+
+    Geometry streams are fetched from the device only in rounds where the
+    FIFO head wants them; a geo request behind color-only traffic simply
+    starts the next round (FIFO order is never violated).
+    """
+
+    def __init__(self, server: "GenerationServer", window_s: float = 0.005,
+                 seed: int = 0):
+        self.server = server
+        self.window_s = max(0.0, window_s)
+        self._cv = threading.Condition()
+        self._waiting: deque = deque()
+        self._closed = False
+        # dedicated stream, disjoint from any client-pinned seed's stream
+        self._key = prng.named(prng.base_key(seed), "serve-microbatch")
+        self._step = 0
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="serve-microbatcher"
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def submit(self, n: int, with_geo: bool = False):
+        """Yield ``(geo | None, color)`` uint8 slices totalling n videos."""
+        req = _PendingRequest(n, with_geo)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self._waiting.append(req)
+            self._cv.notify_all()
+        try:
+            while True:
+                item = req.out.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            self.server.count("requests")
+            self.server.count("batched_requests")
+            self.server.count("videos_served", n)
+        finally:
+            # consumer gone (disconnect / error): stop generating for it
+            with self._cv:
+                req.dead = True
+                if req in self._waiting:
+                    self._waiting.remove(req)
+
+    def _live(self):
+        return [r for r in self._waiting if not r.dead]
+
+    def _loop(self) -> None:
+        capacity = self.server.batchsize * self.server.iters
+        while True:
+            with self._cv:
+                while not self._live() and not self._closed:
+                    self._cv.wait()
+                if self._closed:
+                    for r in self._live():
+                        r.out.put(RuntimeError("server is shutting down"))
+                    self._waiting.clear()
+                    return
+                # coalescing window: let concurrent arrivals join this chunk
+                deadline = time.perf_counter() + self.window_s
+                while (sum(r.remaining for r in self._live()) < capacity):
+                    left = deadline - time.perf_counter()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                live = self._live()
+                if not live:  # every waiter died during the window
+                    continue
+                want_geo = live[0].with_geo
+            k = self._step
+            self._step += 1
+            try:
+                with self.server._lock:
+                    csum, xg, xc = self.server.chunk_fn(
+                        self.server.state, prng.for_step(self._key, k)
+                    )
+                int(csum)
+                color = np.asarray(xc).reshape((-1,) + xc.shape[2:])
+                geo = None
+                if want_geo:
+                    geo = np.asarray(xg).reshape((-1,) + xg.shape[2:])
+            except Exception as e:  # fail everyone waiting, keep serving
+                self.server.count("errors")
+                with self._cv:
+                    for r in self._live():
+                        r.out.put(e)
+                    self._waiting.clear()
+                continue
+            self.server.count("batched_chunks")
+            off = 0
+            with self._cv:
+                while off < len(color) and self._waiting:
+                    r = self._waiting[0]
+                    if r.dead:
+                        self._waiting.popleft()
+                        continue
+                    if r.with_geo and geo is None:
+                        break  # next round fetches geometry for this head
+                    take = min(r.remaining, len(color) - off)
+                    r.out.put((
+                        geo[off:off + take].copy() if r.with_geo else None,
+                        color[off:off + take].copy(),
+                    ))
+                    r.remaining -= take
+                    off += take
+                    if r.remaining == 0:
+                        r.out.put(None)
+                        self._waiting.popleft()
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "dcvgan-tpu-serve/1.0"
     gen: GenerationServer  # set on the handler class by serve_http
@@ -427,7 +587,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _generate(self, q: dict) -> None:
         try:
             n = int(q.get("n", ["16"])[0])
-            seed = int(q.get("seed", ["0"])[0])
+            raw_seed = q.get("seed", ["auto"])[0]
+            seed = None if str(raw_seed).lower() in ("auto", "none", "") \
+                else int(raw_seed)
             with_geo = q.get("geo", ["0"])[0].lower() not in (
                 "0", "", "false", "none",
             )
@@ -464,17 +626,25 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
             return
         try:
+            if seed is None:  # server-picked stream -> coalescable
+                chunks = self.gen.batcher.submit(n, with_geo)
+            else:  # pinned stream -> deterministic, dedicated chunks
+                chunks = self.gen.generate_chunks(n, seed, with_geo)
             if with_geo:
-                self._respond_npz(n, seed)
+                self._respond_npz(chunks)
             else:
-                self._stream_npy(n, seed)
+                self._stream_npy(n, chunks)
         finally:
             self.gen.release()
 
-    def _respond_npz(self, n: int, seed: int) -> None:
+    def _respond_npz(self, chunks) -> None:
         """Buffered npz response (color + geo); bounded by the videos cap."""
         try:
-            geo, color = self.gen.generate(n, seed, with_geo=True)
+            geos, colors = [], []
+            for geo, color in chunks:
+                geos.append(geo)
+                colors.append(color)
+            geo, color = np.concatenate(geos), np.concatenate(colors)
             buf = io.BytesIO()
             np.savez(buf, color=color, geo=geo)
         except Exception as e:  # chip/transfer failure -> 500, keep serving
@@ -489,7 +659,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _stream_npy(self, n: int, seed: int) -> None:
+    def _stream_npy(self, n: int, chunks) -> None:
         """Stream an npy payload chunk-by-chunk: the exact npy header is
         precomputed from the known video shape, so Content-Length is exact
         and the host never materializes more than one device chunk."""
@@ -501,7 +671,6 @@ class _Handler(BaseHTTPRequestHandler):
         )
         header = hdr.getvalue()
         total = len(header) + int(np.prod(shape))
-        chunks = self.gen.generate_chunks(n, seed, with_geo=False)
         try:
             first = next(chunks)  # surface chip failures before headers go out
         except Exception as e:
@@ -562,6 +731,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         help="concurrent /generate requests admitted before 429",
     )
     parser.add_argument(
+        "--batch-window-ms",
+        type=float,
+        default=5.0,
+        help="micro-batching window: how long an unseeded request waits "
+        "for concurrent arrivals to share its device chunk",
+    )
+    parser.add_argument(
         "--mesh",
         type=int,
         default=1,
@@ -592,6 +768,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             queue_depth=args.queue_depth,
             max_request_videos=args.max_request_videos,
             max_concurrent=args.max_concurrent,
+            batch_window_ms=args.batch_window_ms,
         )
         httpd = serve_http(gen, args.listen)
         print(

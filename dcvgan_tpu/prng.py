@@ -36,6 +36,7 @@ _NAMED_TAGS = {
     "host": 14,
     "sample": 15,
     "joint": 16,  # critic_joint_batch: one noise stream for [real; fake]
+    "serve-microbatch": 17,  # serving: server-owned coalesced-request stream
 }
 
 
