@@ -66,6 +66,7 @@ class Evaluator:
         # (/root/reference/src/trainer.py:205).
         self.max_real_samples = max_real_samples
         self._real_cache = None
+        self._sample_embed_fn = None  # jit cache: one compile per Evaluator
 
     # ------------------------------------------------------------ real side
     def _real_features(self):
@@ -118,7 +119,11 @@ class Evaluator:
     def sample_and_embed(self, gan, state, key, num: Optional[int] = None):
         """Device-resident sample->embed over ceil(num/batchsize) chunks."""
         num = self.num_samples if num is None else num
-        fn = _jitted_sample_embed(gan, self.extractor, self.batchsize)
+        if self._sample_embed_fn is None:
+            self._sample_embed_fn = _jitted_sample_embed(
+                gan, self.extractor, self.batchsize
+            )
+        fn = self._sample_embed_fn
         feats, probs = [], []
         for i in range((num + self.batchsize - 1) // self.batchsize):
             f, p = fn(state, self.extractor.variables, prng.for_step(key, i))

@@ -31,7 +31,7 @@ sys.path.insert(0, str(REPO))
 
 from dcvgan_tpu import prng  # noqa: E402
 from dcvgan_tpu.cli.infer import load_run  # noqa: E402
-from dcvgan_tpu.data.dataset import VideoDataset  # noqa: E402
+from dcvgan_tpu.cli.train import build_dataset  # noqa: E402
 from dcvgan_tpu.eval.evaluator import Evaluator  # noqa: E402
 from dcvgan_tpu.eval.features import FeatureExtractor  # noqa: E402
 
@@ -56,7 +56,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg, gan, state = load_run(args.run, -1)
-    dataset = VideoDataset.from_config(cfg, mode="train")
+    dataset = build_dataset(cfg)
     extractor = FeatureExtractor(weights_path=str(args.weights))
 
     rows = []
