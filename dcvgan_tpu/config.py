@@ -189,14 +189,21 @@ class MeshConfig:
     ``data`` is the batch-parallel axis over ICI. ``-1`` means "all visible
     devices". A ``time`` axis is named so the 3D-conv critics could shard the
     temporal axis with halo exchange later; it stays 1 for video_length=16.
+    ``dcn`` is the outermost batch-parallel axis for multi-slice training:
+    replicas on different pod slices connected by data-center network. The
+    batch shards over (dcn, data); gradient all-reduces over ``dcn`` ride
+    DCN once per step, while everything bandwidth-hungry stays on ICI.
     """
 
     data: int = -1
     time: int = 1
+    dcn: int = 1
 
     def validate(self) -> None:
-        if self.data == 0 or self.time <= 0:
-            raise ConfigError("mesh axes must be positive (data may be -1)")
+        if self.data == 0 or self.time <= 0 or self.dcn <= 0:
+            raise ConfigError(
+                "mesh axes must be positive (data may be -1)"
+            )
 
 
 @dataclass

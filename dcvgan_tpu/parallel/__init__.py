@@ -4,7 +4,9 @@ all — ``util.current_device()`` hardcodes one GPU,
 
 from dcvgan_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    batch_size_divisor,
     create_mesh,
+    data_axes,
     multihost_init,
     replicate,
     shard_batch,

@@ -26,6 +26,7 @@ from dcvgan_tpu.config import ExperimentConfig
 
 DATA_AXIS = "data"
 TIME_AXIS = "time"
+DCN_AXIS = "dcn"
 
 
 def _multiprocess_launch_detected() -> bool:
@@ -85,50 +86,114 @@ def xla_bridge_initialized() -> bool:
         return False
 
 
+def _slice_ordered(devices: np.ndarray, dcn: int) -> Optional[np.ndarray]:
+    """Reorder devices so slices are contiguous along the leading (dcn) axis.
+
+    On real multi-slice TPU deployments each device carries a
+    ``slice_index``; grouping by it keeps the ``data``/``time`` axes inside
+    one slice (ICI) and only the ``dcn`` axis crossing the data-center
+    network — the hybrid-mesh recipe (mesh_utils.create_hybrid_device_mesh
+    does the same for its outer axes). Returns None when slice metadata is
+    absent/uniform (single slice, CPU virtual devices): any order works
+    because there is no ICI/DCN distinction to respect.
+    """
+    flat = devices.reshape(-1)
+    try:
+        slices = sorted({d.slice_index for d in flat})
+    except AttributeError:
+        return None
+    if len(slices) <= 1:
+        return None
+    if len(slices) != dcn:
+        raise ValueError(
+            f"mesh dcn={dcn} but {len(slices)} device slices are visible; "
+            f"the dcn axis must equal the slice count so data/time stay "
+            f"on ICI"
+        )
+    by_slice = [[d for d in flat if d.slice_index == s] for s in slices]
+    if len({len(g) for g in by_slice}) != 1:
+        raise ValueError("slices expose unequal device counts")
+    return np.asarray([d for g in by_slice for d in g])
+
+
 def create_mesh(
     config: Optional[ExperimentConfig] = None,
     data: Optional[int] = None,
     time: Optional[int] = None,
     devices=None,
     batchsize: Optional[int] = None,
+    dcn: Optional[int] = None,
 ) -> Mesh:
-    """Build the (data, time) mesh.
+    """Build the (data, time) mesh — or (dcn, data, time) for multi-slice.
 
-    ``data=-1`` -> all devices / time; when ``batchsize`` is given, the data
-    axis shrinks to the largest divisor of the batch (tiny debug batches on
-    big hosts use a device subset rather than failing the shard).
+    ``data=-1`` -> all devices / (dcn*time); when ``batchsize`` is given, the
+    data axis shrinks to the largest divisor of the batch (tiny debug batches
+    on big hosts use a device subset rather than failing the shard).
+    ``dcn>1`` names an outermost batch-parallel axis intended to span pod
+    slices: on hardware exposing ``slice_index`` the device order is
+    regrouped so each dcn coordinate is one slice.
     """
     if config is not None:
-        # explicit argument wins over the config, for both axes
+        # explicit argument wins over the config, for every axis
         data = config.mesh.data if data is None else data
         time = config.mesh.time if time is None else time
+        dcn = config.mesh.dcn if dcn is None else dcn
         batchsize = config.batchsize if batchsize is None else batchsize
     if time is None:
         time = 1
+    if dcn is None:
+        dcn = 1
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data is None or data == -1:
-        if n % time:
-            raise ValueError(f"{n} devices not divisible by time={time}")
-        data = n // time
+        if n % (dcn * time):
+            raise ValueError(
+                f"{n} devices not divisible by dcn*time={dcn * time}"
+            )
+        data = n // (dcn * time)
         if batchsize is not None:
-            while data > 1 and batchsize % data:
+            while data > 1 and batchsize % (dcn * data):
                 data -= 1
-    if data * time > n:
+    if dcn * data * time > n:
         raise ValueError(
-            f"mesh {data}x{time} exceeds {n} visible devices"
+            f"mesh {dcn}x{data}x{time} exceeds {n} visible devices"
         )
-    if batchsize is not None and batchsize % data:
+    if batchsize is not None and batchsize % (dcn * data):
         raise ValueError(
-            f"batchsize {batchsize} not divisible by mesh data axis {data}"
+            f"batchsize {batchsize} not divisible by batch-parallel mesh "
+            f"size dcn*data={dcn * data}"
         )
-    used = devices.reshape(-1)[: data * time]
-    return Mesh(used.reshape(data, time), (DATA_AXIS, TIME_AXIS))
+    if dcn == 1:
+        used = devices.reshape(-1)[: data * time]
+        return Mesh(used.reshape(data, time), (DATA_AXIS, TIME_AXIS))
+    ordered = _slice_ordered(devices, dcn)
+    if ordered is None:
+        ordered = devices.reshape(-1)
+    used = ordered[: dcn * data * time]
+    return Mesh(
+        used.reshape(dcn, data, time), (DCN_AXIS, DATA_AXIS, TIME_AXIS)
+    )
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """The batch-parallel axis names of this mesh, outermost first."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
+
+
+def batch_size_divisor(mesh: Mesh) -> int:
+    """Total batch-parallel ways (what per-step batches must divide by)."""
+    size = 1
+    for a in data_axes(mesh):
+        size *= mesh.shape[a]
+    return size
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: leading axis sharded over ``data``."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Batch tensors: leading axis sharded over the batch-parallel axes
+    ((dcn, data) for multi-slice meshes, data otherwise)."""
+    return NamedSharding(mesh, P(data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

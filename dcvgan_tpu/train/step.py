@@ -302,17 +302,19 @@ class DCVGAN:
         state: GANState,
         batch: Dict[str, jax.Array],
         key: jax.Array,
-        axis_name: str | None = None,
+        axis_name: "str | tuple | None" = None,
         time_mesh=None,
     ) -> Tuple[GANState, Dict[str, jax.Array]]:
         """One full GAN iteration (see module docstring). Jit me.
 
         ``axis_name=None`` (default): the step sees the *global* batch under
         jit — BatchNorm statistics are global-batch ("sync BN").
-        ``axis_name="data"``: the step runs per-replica inside shard_map —
-        BN normalizes with **per-replica** statistics (torch-DDP-default
-        semantics, the reference's single-GPU behavior extended); gradients,
-        metrics, and stored running stats are pmean'd over the axis.
+        ``axis_name="data"`` (or a tuple of batch-parallel axes, e.g.
+        ``("dcn", "data")`` on a multi-slice mesh): the step runs per-replica
+        inside shard_map — BN normalizes with **per-replica** statistics
+        (torch-DDP-default semantics, the reference's single-GPU behavior
+        extended); gradients, metrics, and stored running stats are pmean'd
+        over the axes.
         """
         cfg = self.config
         geo = cfg.geometric_info.name
@@ -581,21 +583,26 @@ class DCVGAN:
 
     def sharded_train_step(self, mesh):
         """Per-replica-BN variant: the step runs inside shard_map over the
-        mesh ``data`` axis (``sync_batchnorm: false``). BatchNorm normalizes
-        with local-shard statistics; gradients/metrics/stored running stats
-        are pmean'd, so parameters remain replica-identical."""
+        mesh's batch-parallel axes (``sync_batchnorm: false``): ``data``,
+        plus the outer ``dcn`` axis on multi-slice meshes. BatchNorm
+        normalizes with local-shard statistics; gradients/metrics/stored
+        running stats are pmean'd over all batch-parallel axes (the dcn
+        reduction is the once-per-step DCN collective), so parameters remain
+        replica-identical."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from dcvgan_tpu.parallel.mesh import DATA_AXIS
+        from dcvgan_tpu.parallel.mesh import data_axes
+
+        axes = data_axes(mesh)
 
         def local(state, batch, key):
-            return self.train_step(state, batch, key, axis_name=DATA_AXIS)
+            return self.train_step(state, batch, key, axis_name=axes)
 
         mapped = shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P()),
+            in_specs=(P(), P(axes), P()),
             out_specs=(P(), P()),
         )
         donate = (0,) if self.config.trainer.donate_state else ()
@@ -610,6 +617,14 @@ class DCVGAN:
         if not self.config.trainer.sync_batchnorm:
             raise ValueError(
                 "mesh.time > 1 requires trainer.sync_batchnorm=true"
+            )
+        from dcvgan_tpu.parallel.mesh import DCN_AXIS
+
+        if DCN_AXIS in mesh.axis_names:
+            raise NotImplementedError(
+                "mesh.time > 1 with mesh.dcn > 1 is not supported: the "
+                "time-sharded critics' inner shard_map would need the dcn "
+                "axis threaded through its halo exchange"
             )
         donate = (0,) if self.config.trainer.donate_state else ()
 

@@ -31,7 +31,12 @@ from dcvgan_tpu.data.dataset import VideoDataset
 from dcvgan_tpu.data.loader import VideoLoader
 from dcvgan_tpu.eval.sampler import generate_samples
 from dcvgan_tpu.logging.logger import Logger, MetricType
-from dcvgan_tpu.parallel.mesh import DATA_AXIS, create_mesh, replicate, shard_batch
+from dcvgan_tpu.parallel.mesh import (
+    batch_size_divisor,
+    create_mesh,
+    replicate,
+    shard_batch,
+)
 from dcvgan_tpu.train.checkpoint import CheckpointManager
 from dcvgan_tpu.train.state import GANState
 from dcvgan_tpu.train.step import DCVGAN
@@ -78,7 +83,7 @@ class Trainer:
             seed=config.seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
-            shard_divisor=self.mesh.shape[DATA_AXIS],
+            shard_divisor=batch_size_divisor(self.mesh),
         )
         self.ckpt = CheckpointManager(run_dir / "models")
         self.evaluator = evaluator
