@@ -1,0 +1,101 @@
+"""Render the head-to-head chart + table from the two trajectory files.
+
+Inputs (written by the head-to-head pipeline):
+- ``results/headtohead/refrun/eval_samples/scores.jsonl`` — the torch
+  reference run's in-training scores (computed live by the evan shim with
+  the committed extractor; ``eval_index * 200`` = iteration).
+- ``results/headtohead/tpu_scores.json`` — our run's checkpoints, sampled
+  to mp4 (tools/headtohead_sample.py) and scored by tools/score_iters.py
+  under the identical protocol.
+
+Output: ``results/headtohead/headtohead.png`` (FID + IS panels, one axis
+each) and a markdown table on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+REPO = Path(__file__).resolve().parents[1]
+H2H = REPO / "results" / "headtohead"
+
+# dataviz reference palette (validated categorical slots 1-2, light mode)
+TPU, REF = "#2a78d6", "#eb6834"
+TEXT, TEXT2, GRID = "#0b0b0b", "#52514e", "#e6e5e1"
+
+
+def load_ref():
+    rows = {}
+    path = H2H / "refrun" / "eval_samples" / "scores.jsonl"
+    for line in path.read_text().splitlines():
+        d = json.loads(line)
+        it = d["eval_index"] * 200
+        rows.setdefault(it, {})[d["metric"]] = d["value"]
+    return dict(sorted(rows.items()))
+
+
+def load_tpu():
+    rows = json.loads((H2H / "tpu_scores.json").read_text())
+    return {r["iteration"]: {"is": r["is"], "fid": r["fid"]} for r in rows}
+
+
+def main():
+    ref, tpu = load_ref(), load_tpu()
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.2), dpi=150)
+    for ax, metric, title in zip(
+        axes, ["fid", "is"], ["FID (lower is better)", "IS (higher is better)"]
+    ):
+        for name, data, color in (
+            ("dcvgan-tpu", tpu, TPU),
+            ("torch reference", ref, REF),
+        ):
+            xs = sorted(data)
+            ys = [data[x][metric] for x in xs]
+            ax.plot(xs, ys, color=color, lw=2, marker="o", ms=4, label=name)
+            # selective direct label at the last point
+            ax.annotate(
+                f"{ys[-1]:.0f}" if metric == "fid" else f"{ys[-1]:.2f}",
+                (xs[-1], ys[-1]),
+                textcoords="offset points", xytext=(6, -3),
+                color=color, fontsize=9,
+            )
+        ax.set_title(title, color=TEXT, fontsize=11)
+        ax.set_xlabel("iteration", color=TEXT2, fontsize=9)
+        ax.grid(color=GRID, lw=0.8)
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+        for s in ("left", "bottom"):
+            ax.spines[s].set_color(GRID)
+        ax.tick_params(colors=TEXT2, labelsize=8)
+    axes[0].legend(frameon=False, fontsize=9, labelcolor=TEXT2)
+    fig.suptitle(
+        "Head-to-head on the synthetic dataset: matched configs, one "
+        "committed extractor, 128 samples/eval",
+        color=TEXT, fontsize=11,
+    )
+    fig.tight_layout()
+    out = H2H / "headtohead.png"
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+    print("\n| iter | ref FID | tpu FID | ref IS | tpu IS |")
+    print("|---|---|---|---|---|")
+    for it in sorted(set(ref) | set(tpu)):
+        r, t = ref.get(it, {}), tpu.get(it, {})
+        print(
+            f"| {it} | {r.get('fid', float('nan')):.1f} | "
+            f"{t.get('fid', float('nan')):.1f} | "
+            f"{r.get('is', float('nan')):.3f} | "
+            f"{t.get('is', float('nan')):.3f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
