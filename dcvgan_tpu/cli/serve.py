@@ -505,12 +505,17 @@ class MicroBatcher:
                 geo = None
                 if want_geo:
                     geo = np.asarray(xg).reshape((-1,) + xg.shape[2:])
-            except Exception as e:  # fail everyone waiting, keep serving
+            except Exception as e:
+                # fail only the requests this chunk was dispatched for;
+                # arrivals during its execution stay queued for the next
+                # round (their chunk hasn't been attempted yet)
                 self.server.count("errors")
                 with self._cv:
-                    for r in self._live():
-                        r.out.put(e)
-                    self._waiting.clear()
+                    for r in live:
+                        if not r.dead:
+                            r.out.put(e)
+                        if r in self._waiting:
+                            self._waiting.remove(r)
                 continue
             self.server.count("batched_chunks")
             off = 0
@@ -575,6 +580,11 @@ class _Handler(BaseHTTPRequestHandler):
             if length > 1_000_000:
                 self._json(413, {"error": "request body too large"})
                 return
+            if length < 0:
+                # rfile.read(-1) would block until EOF, pinning this
+                # handler thread for as long as the client keeps the
+                # socket open — reject before reading
+                raise ValueError(f"bad Content-Length {length}")
             body = json.loads(self.rfile.read(length) or b"{}")
             if not isinstance(body, dict):
                 raise ValueError("body must be a JSON object")

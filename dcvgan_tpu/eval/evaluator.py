@@ -12,7 +12,6 @@ the directories. Two paths here:
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -22,21 +21,17 @@ import numpy as np
 from dcvgan_tpu import prng
 
 from dcvgan_tpu.eval.features import FeatureExtractor, default_extractor
-from dcvgan_tpu.eval.metrics import (
-    frechet_distance,
-    inception_score,
-    prd_curve,
-    prd_f_beta,
-)
+from dcvgan_tpu.eval.metrics import score_features
 from dcvgan_tpu.eval.sampler import generate_samples
 from dcvgan_tpu.utils.video_np import videos_to_uint8
 
 
-@functools.lru_cache(maxsize=8)
 def _jitted_sample_embed(gan, extractor, batchsize: int):
-    """One compiled function per (model, extractor, batchsize): eval-mode
-    sample_videos -> host-identical uint8 quantization -> feature embed,
-    entirely on device."""
+    """Build the fused eval-mode sample_videos -> host-identical uint8
+    quantization -> feature embed function, entirely on device. Cached per
+    Evaluator instance (``_sample_embed_fn``) — a module-level lru_cache
+    here would pin model bundles + compiled executables alive for the
+    process lifetime after their Evaluator is discarded."""
 
     @jax.jit
     def fn(state, variables, key):
@@ -137,23 +132,7 @@ class Evaluator:
         return self._score(feats, probs)
 
     def _score(self, feats: np.ndarray, probs: np.ndarray) -> Dict[str, float]:
-        scores: Dict[str, float] = {}
-        for m in self.metrics:
-            if m == "is":
-                scores["is"] = inception_score(probs)
-            elif m in ("fid", "fvd"):
-                # The extractor embeds whole clips, so the Fréchet distance
-                # over its features IS an FVD (Fréchet *Video* Distance);
-                # "fid" is kept as the reference's config name for it.
-                scores[m] = frechet_distance(feats, self._real_features())
-            elif m == "prd":
-                prec, rec = prd_curve(self._real_features(), feats)
-                f8, f1_8 = prd_f_beta(prec, rec)
-                scores["prd"] = f8
-                scores["prd_f1_8"] = f1_8
-            else:
-                raise KeyError(f"unknown metric {m!r}")
-        return scores
+        return score_features(self.metrics, feats, probs, self._real_features)
 
     # ---------------------------------------------------- directory protocol
     def _embed_paths(self, paths):
@@ -177,25 +156,13 @@ class Evaluator:
         if not gen_paths:
             raise FileNotFoundError(f"no .mp4 files in {gen_dir}")
         feats, probs = self._embed_paths(gen_paths)
-        scores: Dict[str, float] = {}
-        ref_feats = None
-        if ref_dir is not None:
+
+        def ref_feats():
+            if ref_dir is None:
+                return None  # score_features raises "fid/prd need ..."
             ref_paths = sorted(Path(ref_dir).glob("*.mp4"))
             if self.max_real_samples > 0:
                 ref_paths = ref_paths[: self.max_real_samples]
-            ref_feats, _ = self._embed_paths(ref_paths)
-        for m in self.metrics:
-            if m == "is":
-                scores["is"] = inception_score(probs)
-            elif m in ("fid", "fvd"):
-                if ref_feats is None:
-                    raise ValueError(f"{m} needs ref_dir")
-                scores[m] = frechet_distance(feats, ref_feats)
-            elif m == "prd":
-                if ref_feats is None:
-                    raise ValueError("prd needs ref_dir")
-                prec, rec = prd_curve(ref_feats, feats)
-                scores["prd"], scores["prd_f1_8"] = prd_f_beta(prec, rec)
-            else:
-                raise KeyError(f"unknown metric {m!r}")
-        return scores
+            return self._embed_paths(ref_paths)[0]
+
+        return score_features(self.metrics, feats, probs, ref_feats)

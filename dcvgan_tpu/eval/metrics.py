@@ -126,3 +126,43 @@ def prd_f_beta(
         return float(np.nanmax(np.where(np.isfinite(f), f, 0.0)))
 
     return fmax(beta), fmax(1.0 / beta)
+
+
+def score_features(
+    metrics,
+    feats: np.ndarray,
+    probs: np.ndarray,
+    real_features=None,
+) -> dict:
+    """The single metric-dispatch point: ``is`` / ``fid`` (a Fréchet
+    distance over whole-clip features, i.e. an FVD — "fid" is the
+    reference's config name for it) / ``prd`` from generated
+    ``(features, probs)`` against real features.
+
+    ``real_features`` may be an array or a zero-arg callable (invoked at
+    most once, and only when a metric actually needs the real side — so
+    IS-only scoring never pays the reference embedding).
+    """
+    cache = {}
+
+    def real() -> np.ndarray:
+        if "r" not in cache:
+            r = real_features() if callable(real_features) else real_features
+            if r is None:
+                raise ValueError("fid/prd need reference features")
+            cache["r"] = r
+        return cache["r"]
+
+    scores: dict = {}
+    for m in metrics:
+        if m == "is":
+            scores["is"] = float(inception_score(probs))
+        elif m in ("fid", "fvd"):
+            scores[m] = float(frechet_distance(feats, real()))
+        elif m == "prd":
+            prec, rec = prd_curve(real(), feats)
+            f8, f1_8 = prd_f_beta(prec, rec)
+            scores["prd"], scores["prd_f1_8"] = float(f8), float(f1_8)
+        else:
+            raise KeyError(f"unknown metric {m!r}")
+    return scores

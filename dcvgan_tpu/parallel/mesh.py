@@ -86,8 +86,8 @@ def xla_bridge_initialized() -> bool:
         return False
 
 
-def _slice_ordered(devices: np.ndarray, dcn: int) -> Optional[np.ndarray]:
-    """Reorder devices so slices are contiguous along the leading (dcn) axis.
+def _slice_groups(devices: np.ndarray, dcn: int) -> Optional[np.ndarray]:
+    """Group devices by slice into a ``(dcn, per_slice)`` array.
 
     On real multi-slice TPU deployments each device carries a
     ``slice_index``; grouping by it keeps the ``data``/``time`` axes inside
@@ -113,7 +113,7 @@ def _slice_ordered(devices: np.ndarray, dcn: int) -> Optional[np.ndarray]:
     by_slice = [[d for d in flat if d.slice_index == s] for s in slices]
     if len({len(g) for g in by_slice}) != 1:
         raise ValueError("slices expose unequal device counts")
-    return np.asarray([d for g in by_slice for d in g])
+    return np.asarray(by_slice)
 
 
 def create_mesh(
@@ -166,13 +166,30 @@ def create_mesh(
     if dcn == 1:
         used = devices.reshape(-1)[: data * time]
         return Mesh(used.reshape(data, time), (DATA_AXIS, TIME_AXIS))
-    ordered = _slice_ordered(devices, dcn)
-    if ordered is None:
-        ordered = devices.reshape(-1)
-    used = ordered[: dcn * data * time]
+    used = _select_dcn_devices(devices, dcn, data * time)
     return Mesh(
         used.reshape(dcn, data, time), (DCN_AXIS, DATA_AXIS, TIME_AXIS)
     )
+
+
+def _select_dcn_devices(devices: np.ndarray, dcn: int, per_slice: int) -> np.ndarray:
+    """Pick ``dcn * per_slice`` devices honoring slice boundaries.
+
+    With slice metadata, the subset must come from EVERY slice (``per_slice``
+    devices out of each), never the head of the flat slice-grouped order —
+    that would stack multiple dcn coordinates inside slice 0 (idling the
+    other slices) or straddle data-axis rows across the slice boundary
+    (putting per-step ICI collectives on DCN).
+    """
+    groups = _slice_groups(devices, dcn)
+    if groups is None:
+        return devices.reshape(-1)[: dcn * per_slice]
+    if groups.shape[1] < per_slice:
+        raise ValueError(
+            f"dcn mesh needs {per_slice} devices per slice but slices "
+            f"expose {groups.shape[1]}"
+        )
+    return groups[:, :per_slice].reshape(-1)
 
 
 def data_axes(mesh: Mesh) -> tuple:

@@ -131,3 +131,38 @@ def test_dcn_with_time_sharding_rejected(devices):
     gan = DCVGAN(cfg)
     with pytest.raises(NotImplementedError):
         gan.time_sharded_train_step(mesh)
+
+
+def test_dcn_device_subset_spans_every_slice():
+    """Regression: with slice metadata, a device subset must take data*time
+    devices from EACH slice — taking the head of the flat slice-grouped
+    order stacks both dcn coordinates inside slice 0 and idles slice 1."""
+    from dcvgan_tpu.parallel.mesh import _select_dcn_devices
+
+    class FakeDev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+        def __repr__(self):
+            return f"d{self.id}@s{self.slice_index}"
+
+    devs = np.asarray([FakeDev(i, i // 4) for i in range(8)])  # 2 slices x 4
+
+    used = _select_dcn_devices(devs, dcn=2, per_slice=2)  # e.g. data=2, time=1
+    assert [d.slice_index for d in used] == [0, 0, 1, 1]
+    # dcn row i must be entirely on slice i after the (dcn, data, time) reshape
+    rows = used.reshape(2, 2)
+    assert {d.slice_index for d in rows[0]} == {0}
+    assert {d.slice_index for d in rows[1]} == {1}
+
+    # full use keeps every device, grouped by slice
+    full = _select_dcn_devices(devs, dcn=2, per_slice=4)
+    assert [d.slice_index for d in full] == [0] * 4 + [1] * 4
+
+    # asking for more per slice than a slice has must fail loudly
+    with pytest.raises(ValueError):
+        _select_dcn_devices(devs, dcn=2, per_slice=5)
+
+    # no slice metadata (CPU virtual devices): plain head-of-list subset
+    plain = np.asarray(list(range(8)))
+    assert list(_select_dcn_devices(plain, dcn=2, per_slice=2)) == [0, 1, 2, 3]

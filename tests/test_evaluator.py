@@ -233,3 +233,35 @@ def test_device_resident_eval_matches_host_path(extractor):
     assert fused.keys() == host.keys()
     for k in fused:
         np.testing.assert_allclose(fused[k], host[k], rtol=1e-4, atol=1e-5)
+
+
+def test_score_features_lazy_real_side():
+    """score_features is the single metric-dispatch point: IS-only scoring
+    must never touch the real side; fid/prd without one must fail; the
+    callable form is invoked at most once."""
+    import numpy as np
+    import pytest
+
+    from dcvgan_tpu.eval.metrics import score_features
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(16, 8)).astype(np.float32)
+    probs = np.full((16, 4), 0.25, np.float32)
+
+    calls = []
+
+    def real():
+        calls.append(1)
+        return rng.normal(size=(16, 8)).astype(np.float32)
+
+    out = score_features(["is"], feats, probs, real)
+    assert set(out) == {"is"} and not calls  # real side untouched
+
+    out = score_features(["is", "fid", "prd"], feats, probs, real)
+    assert set(out) == {"is", "fid", "prd", "prd_f1_8"}
+    assert len(calls) == 1  # embedded once for both real-side metrics
+
+    with pytest.raises(ValueError):
+        score_features(["fid"], feats, probs, None)
+    with pytest.raises(KeyError):
+        score_features(["nope"], feats, probs, None)

@@ -185,6 +185,20 @@ def test_http_hardening():
         )
         expect_code(bad, 400)
 
+        # negative Content-Length -> immediate 400, never a blocking
+        # read-to-EOF that would pin the handler thread
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        try:
+            conn.putrequest("POST", "/generate")
+            conn.putheader("Content-Length", "-1")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, resp.status
+        finally:
+            conn.close()
+
         # over the videos cap -> 413 with the limit in the body
         err = expect_code(f"{base}/generate?n=9", 413)
         assert json.loads(err.read())["max_request_videos"] == 8
@@ -369,4 +383,72 @@ def test_http_unseeded_requests_use_batcher():
     finally:
         httpd.shutdown()
         httpd.server_close()
+        gen.close()
+
+
+def test_micro_batch_failure_only_hits_its_own_chunk():
+    """A failed chunk fails exactly the requests it was dispatched for;
+    arrivals during its execution stay queued and are served by the next
+    chunk (regression: the except path used to clear the whole queue)."""
+    import threading
+    import time
+
+    from dcvgan_tpu.cli.serve import GenerationServer
+
+    _, gan, state = tiny_gan()
+    gen = GenerationServer(
+        gan, state, batchsize=4, iters_per_chunk=1,
+        max_concurrent=16, batch_window_ms=1.0,
+    )
+    try:
+        real_fn = gen.chunk_fn
+        b_joined = threading.Event()
+        fail_armed = threading.Event()
+        fail_armed.set()
+
+        def flaky(state_, key):
+            if fail_armed.is_set():
+                fail_armed.clear()
+                b_joined.wait(timeout=60)  # let B join the queue mid-chunk
+                raise RuntimeError("transient device error")
+            return real_fn(state_, key)
+
+        gen.chunk_fn = flaky
+
+        a_err, b_out = [], []
+
+        def run_a():
+            try:
+                list(gen.batcher.submit(2))
+            except RuntimeError as e:
+                a_err.append(e)
+
+        ta = threading.Thread(target=run_a)
+        ta.start()
+        # wait until A's chunk is in flight (its request snapshot is taken)
+        for _ in range(1000):
+            if not fail_armed.is_set():
+                break
+            time.sleep(0.01)
+        assert not fail_armed.is_set(), "A's chunk never dispatched"
+
+        def run_b():
+            got = [c for _, c in gen.batcher.submit(2)]
+            b_out.append(np.concatenate(got))
+
+        tb = threading.Thread(target=run_b)
+        tb.start()
+        for _ in range(1000):  # B visible in the queue before the failure
+            with gen.batcher._cv:
+                if gen.batcher._live():
+                    break
+            time.sleep(0.01)
+        b_joined.set()
+
+        ta.join(timeout=120)
+        tb.join(timeout=120)
+        assert a_err, "request A must see its chunk's failure"
+        assert b_out and b_out[0].shape == (2, 16, 64, 64, 3)
+        assert gen.counters["errors"] == 1
+    finally:
         gen.close()

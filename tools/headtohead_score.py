@@ -106,30 +106,13 @@ def score_dirs(
     video_length: int = 16,
     ref_limit: Optional[int] = None,
 ) -> Dict[str, float]:
-    from dcvgan_tpu.eval.metrics import (
-        frechet_distance,
-        inception_score,
-        prd_curve,
-        prd_f_beta,
-    )
+    from dcvgan_tpu.eval.metrics import score_features
 
     feats, probs = embed_dir(gen_dir, batchsize, video_length)
     ref_feats = None
     if ref_dir is not None:
         ref_feats, _ = embed_dir(ref_dir, batchsize, video_length, ref_limit)
-    out: Dict[str, float] = {}
-    for m in metrics:
-        if m == "is":
-            out["is"] = float(inception_score(probs))
-        elif m == "fid":
-            out["fid"] = float(frechet_distance(feats, ref_feats))
-        elif m == "prd":
-            prec, rec = prd_curve(ref_feats, feats)
-            f8, f1_8 = prd_f_beta(prec, rec)
-            out["prd"], out["prd_f1_8"] = f8, f1_8
-        else:
-            raise ValueError(f"unknown metric {m!r}")
-    return out
+    return score_features(metrics, feats, probs, ref_feats)
 
 
 def main(argv=None):

@@ -52,9 +52,8 @@ def main(argv=None):
     base_cfg.trainer.precision = "bfloat16"
     base_cfg.trainer.donate_state = False
 
-    mesh = create_mesh(base_cfg)
     key = prng.base_key(0)
-    state = replicate(DCVGAN(base_cfg).init_state(key), mesh)
+    base_state = DCVGAN(base_cfg).init_state(key)
     t, s = base_cfg.video_length, base_cfg.image_size
     rtt = bench._scalar_rtt()
     peak = bench._peak_flops(jax.devices()[0].device_kind)
@@ -65,9 +64,15 @@ def main(argv=None):
         for k, v in overrides.items():
             setattr(cfg.trainer, k, v)
         gan = DCVGAN(cfg)
-        device_batch = shard_batch(bench._make_batch(b, t, s), mesh)
         steps = bench._scan_steps(b)
         try:
+            # per-variant mesh sized to THIS batch (the base config's
+            # batchsize would pick a data axis that may not divide b on
+            # multi-device hosts); inside the try so a shard failure still
+            # records an error row
+            mesh = create_mesh(cfg, batchsize=b)
+            state = replicate(base_state, mesh)
+            device_batch = shard_batch(bench._make_batch(b, t, s), mesh)
             rate, flops = bench._train_rate(gan, state, key, device_batch, steps, rtt)
         except Exception as e:
             row = {"variant": name, "batch": b, "error": f"{type(e).__name__}: {e}"}

@@ -29,12 +29,7 @@ from tools.headtohead_score import embed_dir  # noqa: E402
 
 def score_trajectory(samples_root: Path, ref_dir: Path, metrics, batchsize=32,
                      ref_limit=None):
-    from dcvgan_tpu.eval.metrics import (
-        frechet_distance,
-        inception_score,
-        prd_curve,
-        prd_f_beta,
-    )
+    from dcvgan_tpu.eval.metrics import score_features
 
     iters = sorted(
         (int(re.match(r"iter_(\d+)$", p.name).group(1)), p)
@@ -48,18 +43,9 @@ def score_trajectory(samples_root: Path, ref_dir: Path, metrics, batchsize=32,
     rows = []
     for it, d in iters:
         feats, probs = embed_dir(d, batchsize)
+        scores = score_features(metrics, feats, probs, ref_feats)
         row = {"iteration": it}
-        for m in metrics:
-            if m == "is":
-                row["is"] = round(float(inception_score(probs)), 4)
-            elif m == "fid":
-                row["fid"] = round(float(frechet_distance(feats, ref_feats)), 4)
-            elif m == "prd":
-                prec, rec = prd_curve(ref_feats, feats)
-                f8, f1_8 = prd_f_beta(prec, rec)
-                row["prd"], row["prd_f1_8"] = round(f8, 4), round(f1_8, 4)
-            else:
-                raise ValueError(f"unknown metric {m!r}")
+        row.update({k: round(v, 4) for k, v in scores.items()})
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows
