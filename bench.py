@@ -250,6 +250,13 @@ def main() -> None:
                 "train_fastest_iters_per_sec": round(fastest_rate, 3),
                 "dispatched_videos_per_sec_per_chip": round(disp_infer, 2),
                 "dispatched_train_iters_per_sec": round(disp_train, 3),
+                # ratio of the headline (device-side scan) rate to the
+                # python-dispatch-loop rate; >>1 means the link between
+                # host and chip (this environment: a ~8 MB/s network
+                # tunnel) bounds dispatched serving, not the chip itself
+                "device_vs_dispatch_ratio": round(
+                    videos_per_sec_per_chip / disp_infer, 1
+                ) if disp_infer else None,
                 "train_batchsize": cfg.batchsize,
                 "infer_batchsize": INFER_BATCH,
                 "n_chips": n_chips,
