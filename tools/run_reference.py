@@ -43,7 +43,7 @@ CONFIG_TEMPLATE = """\
 experiment_name: headtohead-ref
 batchsize: {batch}
 n_epochs: {epochs}
-seed: 0
+seed: {seed}
 video_length: 16
 image_size: 64
 log_dir: log
@@ -137,6 +137,7 @@ def main(argv=None):
     ap.add_argument("--eval-samples", type=int, default=128)
     ap.add_argument("--eval-batch", type=int, default=32)
     ap.add_argument("--snapshot", type=int, default=400)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path,
                     default=REPO / "results" / "headtohead" / "refrun")
     args = ap.parse_args(argv)
@@ -144,7 +145,7 @@ def main(argv=None):
     train_tree = ensure_synthetic_tree()
     ensure_ref_mp4s(train_tree)
 
-    out = args.out
+    out = args.out.resolve()  # the runner chdir's into the workdir below
     out.mkdir(parents=True, exist_ok=True)
     workdir = out / "workdir"
     (workdir / "data" / "processed").mkdir(parents=True, exist_ok=True)
@@ -158,7 +159,7 @@ def main(argv=None):
     cfg_path.write_text(CONFIG_TEMPLATE.format(
         batch=args.batch, epochs=epochs, snapshot=args.snapshot,
         eval_interval=args.eval_interval, eval_batch=args.eval_batch,
-        eval_samples=args.eval_samples,
+        eval_samples=args.eval_samples, seed=args.seed,
     ))
 
     # shims first, then the reference on the path, then run in the workdir
