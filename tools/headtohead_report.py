@@ -30,9 +30,9 @@ TPU, REF = "#2a78d6", "#eb6834"
 TEXT, TEXT2, GRID = "#0b0b0b", "#52514e", "#e6e5e1"
 
 
-def load_ref():
+def load_ref(run="refrun"):
     rows = {}
-    path = H2H / "refrun" / "eval_samples" / "scores.jsonl"
+    path = H2H / run / "eval_samples" / "scores.jsonl"
     for line in path.read_text().splitlines():
         d = json.loads(line)
         it = d["eval_index"] * 200
@@ -40,9 +40,51 @@ def load_ref():
     return dict(sorted(rows.items()))
 
 
-def load_tpu():
-    rows = json.loads((H2H / "tpu_scores.json").read_text())
+def load_tpu(name="tpu_scores.json"):
+    rows = json.loads((H2H / name).read_text())
     return {r["iteration"]: {"is": r["is"], "fid": r["fid"]} for r in rows}
+
+
+def seeds_figure():
+    """FID trajectories for both frameworks at both seeds, if the seed-1
+    legs exist (results/headtohead/refrun-seed1 + tpu_scores_seed1.json)."""
+    try:
+        runs = [
+            ("dcvgan-tpu seed 0", load_tpu(), TPU, "-"),
+            ("dcvgan-tpu seed 1", load_tpu("tpu_scores_seed1.json"), TPU, "--"),
+            ("torch ref seed 0", load_ref(), REF, "-"),
+            ("torch ref seed 1", load_ref("refrun-seed1"), REF, "--"),
+        ]
+    except (FileNotFoundError, json.JSONDecodeError):
+        print("seed-1 trajectories not present; skipping seeds figure")
+        return
+    fig, ax = plt.subplots(figsize=(6.4, 4.2), dpi=150)
+    for name, data, color, ls in runs:
+        xs = sorted(data)
+        ax.plot(xs, [data[x]["fid"] for x in xs], color=color, lw=2, ls=ls,
+                marker="o", ms=3.5, label=name)
+    ax.set_title("FID by seed (lower is better)", color=TEXT, fontsize=11)
+    ax.set_xlabel("iteration", color=TEXT2, fontsize=9)
+    ax.grid(color=GRID, lw=0.8)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color(GRID)
+    ax.tick_params(colors=TEXT2, labelsize=8)
+    ax.legend(frameon=False, fontsize=9, labelcolor=TEXT2)
+    fig.tight_layout()
+    out = H2H / "headtohead-seeds.png"
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+    print("\n| iter | ref s0 | ref s1 | tpu s0 | tpu s1 |")
+    print("|---|---|---|---|---|")
+    cols = [r[1] for r in (runs[2], runs[3], runs[0], runs[1])]
+    for it in sorted(set().union(*cols)):
+        cells = " | ".join(
+            f"{c[it]['fid']:.1f}" if it in c else "—" for c in cols
+        )
+        print(f"| {it} | {cells} |")
 
 
 def main():
@@ -95,6 +137,8 @@ def main():
             f"{r.get('is', float('nan')):.3f} | "
             f"{t.get('is', float('nan')):.3f} |"
         )
+
+    seeds_figure()
 
 
 if __name__ == "__main__":
