@@ -46,18 +46,28 @@ def load_tpu(name="tpu_scores.json"):
 
 
 def seeds_figure():
-    """FID trajectories for both frameworks at both seeds, if the seed-1
-    legs exist (results/headtohead/refrun-seed1 + tpu_scores_seed1.json)."""
-    try:
-        runs = [
-            ("dcvgan-tpu seed 0", load_tpu(), TPU, "-"),
-            ("dcvgan-tpu seed 1", load_tpu("tpu_scores_seed1.json"), TPU, "--"),
-            ("torch ref seed 0", load_ref(), REF, "-"),
-            ("torch ref seed 1", load_ref("refrun-seed1"), REF, "--"),
-        ]
-    except (FileNotFoundError, json.JSONDecodeError):
-        print("seed-1 trajectories not present; skipping seeds figure")
+    """FID trajectories for both frameworks across every seed leg present:
+    results/headtohead/refrun-seed<N>/ directories on the reference side,
+    tpu_scores_seed<N>.json files on ours (seed 0 is the unsuffixed pair)."""
+    styles = ["-", "--", ":", "-."]
+    runs = [
+        ("dcvgan-tpu seed 0", load_tpu(), TPU, "-"),
+        ("torch ref seed 0", load_ref(), REF, "-"),
+    ]
+    for p in sorted(H2H.glob("tpu_scores_seed*.json")):
+        n = p.stem.removeprefix("tpu_scores_seed")
+        runs.append((f"dcvgan-tpu seed {n}", load_tpu(p.name), TPU,
+                     styles[int(n) % len(styles)]))
+    for p in sorted(H2H.glob("refrun-seed*")):
+        if not (p / "eval_samples" / "scores.jsonl").exists():
+            continue
+        n = p.name.removeprefix("refrun-seed")
+        runs.append((f"torch ref seed {n}", load_ref(p.name), REF,
+                     styles[int(n) % len(styles)]))
+    if len(runs) == 2:
+        print("no extra seed trajectories present; skipping seeds figure")
         return
+    runs.sort(key=lambda r: r[0])
     fig, ax = plt.subplots(figsize=(6.4, 4.2), dpi=150)
     for name, data, color, ls in runs:
         xs = sorted(data)
@@ -77,9 +87,14 @@ def seeds_figure():
     fig.savefig(out)
     print(f"wrote {out}")
 
-    print("\n| iter | ref s0 | ref s1 | tpu s0 | tpu s1 |")
-    print("|---|---|---|---|---|")
-    cols = [r[1] for r in (runs[2], runs[3], runs[0], runs[1])]
+    ordered = sorted(runs, key=lambda r: (not r[0].startswith("torch"), r[0]))
+    heads = [
+        ("ref" if name.startswith("torch") else "tpu") + " s" + name.split()[-1]
+        for name, *_ in ordered
+    ]
+    print("\n| iter | " + " | ".join(heads) + " |")
+    print("|---|" + "---|" * len(ordered))
+    cols = [r[1] for r in ordered]
     for it in sorted(set().union(*cols)):
         cells = " | ".join(
             f"{c[it]['fid']:.1f}" if it in c else "—" for c in cols
