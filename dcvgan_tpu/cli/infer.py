@@ -43,9 +43,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--n_samples", "-n", type=int, default=10000)
     parser.add_argument("--batchsize", "-b", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--no-ema", action="store_true",
+        help="sample the live generator params even when the checkpoint "
+        "carries an EMA copy (trainer.ema_decay > 0)",
+    )
     args = parser.parse_args(argv)
 
     cfg, gan, state = load_run(args.result_dir, args.iteration)
+    if not args.no_ema:
+        state = state.with_ema_params()
 
     color_dir = args.save_dir / "color"
     color_dir.mkdir(parents=True, exist_ok=True)

@@ -761,6 +761,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         parser.error(f"--sink {args.sink} requires --out DIR")
 
     cfg, gan, state = load_run(args.result_dir, args.iteration)
+    # serve the EMA generators when the checkpoint carries them (identity
+    # otherwise) — the averaged params are the deployment artifact
+    state = state.with_ema_params()
     mesh = None
     if args.mesh != 1:
         from dcvgan_tpu.parallel.mesh import create_mesh

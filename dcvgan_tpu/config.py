@@ -262,6 +262,16 @@ class TrainerConfig:
     # reference normalizes each pass separately), and the Noise layers draw
     # one 2B-sized sample. Default false = reference semantics.
     critic_joint_batch: bool = False
+    # Exponential moving average of the generator parameters (beyond the
+    # reference): 0 disables; typical values 0.99-0.999. When enabled the
+    # train state carries an EMA copy of ggen/cgen params, advanced on every
+    # generator optimizer step; sampling/eval/infer can read the averaged
+    # generator (``GANState.with_ema_params``), which smooths the
+    # late-training FID oscillation GANs exhibit (HEADTOHEAD.md).
+    ema_decay: float = 0.0
+    # When EMA is enabled, use the averaged generator for in-training
+    # sample logging and evaluation (the usual reason to enable it).
+    ema_eval: bool = True
 
 
 @dataclass
@@ -315,6 +325,11 @@ class ExperimentConfig:
             raise ConfigError(
                 f"trainer.precision must be one of {VALID_PRECISIONS}, "
                 f"got {self.trainer.precision!r}"
+            )
+        if not 0.0 <= self.trainer.ema_decay < 1.0:
+            raise ConfigError(
+                f"trainer.ema_decay must be in [0, 1), got "
+                f"{self.trainer.ema_decay}"
             )
         for sub in (
             self.geometric_info,

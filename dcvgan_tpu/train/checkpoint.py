@@ -44,7 +44,14 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, template: GANState, step: Optional[int] = None) -> GANState:
-        """Restore into the structure/shardings of ``template``."""
+        """Restore into the structure/shardings of ``template``.
+
+        Checkpoints written before :class:`GANState` grew the ``ema`` field
+        have no ``ema`` entry in their on-disk structure; when the template's
+        ``ema`` is ``None`` (EMA disabled) such checkpoints restore through a
+        legacy-structure fallback. A checkpoint that *does* carry an EMA tree
+        cannot be restored into an EMA-disabled template — reload with the
+        run's own config (its ``trainer.ema_decay``) instead."""
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -55,7 +62,20 @@ class CheckpointManager:
                 f"available steps: {sorted(self._mgr.all_steps())}"
             )
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        try:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        except ValueError as e:
+            if "ema" not in str(e) or template.ema is not None:
+                raise
+            # pre-ema checkpoint: restore the legacy field set and rewrap
+            legacy = {
+                f: getattr(abstract, f)
+                for f in ("step", "ggen", "cgen", "idis", "vdis", "gdis")
+            }
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(legacy)
+            )
+            return GANState(ema=None, **restored)
 
     def close(self) -> None:
         self._mgr.close()

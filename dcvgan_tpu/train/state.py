@@ -23,7 +23,14 @@ class ModelState(struct.PyTreeNode):
 
 class GANState(struct.PyTreeNode):
     """Five model states + the global step (1-based, like the reference's
-    ``self.iteration``)."""
+    ``self.iteration``).
+
+    ``ema`` is ``None`` unless ``trainer.ema_decay > 0``: then it holds
+    ``{"ggen": params, "cgen": params}`` — an exponential moving average of
+    the generator parameters, updated on every generator optimizer step
+    (beyond the reference, which keeps no parameter averages). Checkpoints
+    written before this field existed restore through a legacy-structure
+    fallback in :class:`~dcvgan_tpu.train.checkpoint.CheckpointManager`."""
 
     step: jnp.ndarray
     ggen: ModelState
@@ -31,6 +38,7 @@ class GANState(struct.PyTreeNode):
     idis: ModelState
     vdis: ModelState
     gdis: ModelState
+    ema: Any = None
 
     @property
     def models(self):
@@ -41,3 +49,16 @@ class GANState(struct.PyTreeNode):
             "vdis": self.vdis,
             "gdis": self.gdis,
         }
+
+    def with_ema_params(self) -> "GANState":
+        """The state with generator params swapped for their EMA (identity
+        when EMA is disabled). BN running statistics stay the live models' —
+        they are already exponential averages. The returned state drops the
+        ``ema`` field so sampling/eval see one canonical structure."""
+        if self.ema is None:
+            return self
+        return self.replace(
+            ggen=self.ggen.replace(params=self.ema["ggen"]),
+            cgen=self.cgen.replace(params=self.ema["cgen"]),
+            ema=None,
+        )

@@ -194,7 +194,14 @@ class DCVGAN:
                 batch_stats=stats,
                 opt_state=self.tx[name].init(params),
             )
-        return GANState(step=jnp.zeros((), jnp.int32), **states)
+        ema = None
+        if cfg.trainer.ema_decay > 0:
+            # EMA of the generator params, seeded at their init values
+            ema = {
+                "ggen": jax.tree.map(jnp.copy, states["ggen"].params),
+                "cgen": jax.tree.map(jnp.copy, states["cgen"].params),
+            }
+        return GANState(step=jnp.zeros((), jnp.int32), ema=ema, **states)
 
     # ------------------------------------------------------------- sampling
     def sample_videos(
@@ -559,6 +566,19 @@ class DCVGAN:
         )
         new_cgen = gated_update(state.cgen, g_grads[1], self.tx["cgen"], do_g, cg_stats)
 
+        new_ema = state.ema
+        if state.ema is not None:
+            # advance the generator EMA only when the generators stepped:
+            # decay 1.0 on gated-off iterations leaves it untouched. Params
+            # are replica-identical under the sharded step (grads pmean'd
+            # above), so the EMA needs no collective of its own.
+            d_eff = jnp.where(do_g, cfg.trainer.ema_decay, 1.0)
+            new_ema = jax.tree.map(
+                lambda e, p: e * d_eff + p.astype(e.dtype) * (1.0 - d_eff),
+                state.ema,
+                {"ggen": new_ggen.params, "cgen": new_cgen.params},
+            )
+
         new_state = GANState(
             step=step,
             ggen=new_ggen,
@@ -566,6 +586,7 @@ class DCVGAN:
             idis=new_idis,
             vdis=new_vdis,
             gdis=new_gdis,
+            ema=new_ema,
         )
         metrics = {
             "loss_idis": d_losses["idis"],

@@ -120,12 +120,21 @@ class Trainer:
         for c in range(1, x.shape[-1]):
             self.logger.tf_log_histogram(x[..., c], f"{tag}/ch{c}", step)
 
+    @property
+    def eval_state(self) -> GANState:
+        """The state sampling/eval should read: the EMA generators when
+        ``trainer.ema_decay > 0`` and ``trainer.ema_eval`` (identity
+        otherwise)."""
+        if self.config.trainer.ema_eval:
+            return self.state.with_ema_params()
+        return self.state
+
     def log_samples(self, iteration: int) -> None:
         """5×5 grid of geometry|color sample videos + histograms to TB
         (reference log_samples, /root/reference/src/trainer.py:109-169)."""
         key = prng.named(prng.for_step(self.base_key, iteration), "sample")
         xg, xc = generate_samples(
-            self.gan, self.state, key, self.NUM_LOG, self.NUM_LOG
+            self.gan, self.eval_state, key, self.NUM_LOG, self.NUM_LOG
         )
         self._log_geo_histograms(xg, "geospace_fake", iteration)
         self.logger.tf_log_histogram(xc[..., 0], "colorspace_fake", iteration)
@@ -178,7 +187,7 @@ class Trainer:
             )
             self._eval_fingerprint_logged = True
         key = prng.named(prng.for_step(self.base_key, iteration), "eval")
-        scores = self.evaluator.evaluate(self.gan, self.state, key)
+        scores = self.evaluator.evaluate(self.gan, self.eval_state, key)
         for name, score in scores.items():
             if name not in self.logger.metrics:
                 # evaluators may emit derived metrics (e.g. prd_f1_8)

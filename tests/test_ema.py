@@ -1,0 +1,155 @@
+"""Generator-EMA tests (trainer.ema_decay — beyond the reference).
+
+Covers: EMA state init, the per-step update math, gating (EMA frozen on
+iterations where the generators don't step), with_ema_params substitution,
+and checkpoint roundtrip of the EMA tree.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dcvgan_tpu import prng
+from dcvgan_tpu.config import ConfigError
+from dcvgan_tpu.train.checkpoint import CheckpointManager
+from dcvgan_tpu.train.step import DCVGAN
+
+from tests.test_train_step import fake_batch, tiny_config
+
+DECAY = 0.5  # large steps make the average visibly move in few iterations
+
+
+def ema_config(**over):
+    trainer = {"precision": "float32", "donate_state": False,
+               "ema_decay": DECAY}
+    trainer.update(over.pop("trainer", {}))
+    return tiny_config(trainer=trainer, **over)
+
+
+@pytest.fixture(scope="module")
+def gan():
+    return DCVGAN(ema_config())
+
+
+@pytest.fixture(scope="module")
+def state0(gan):
+    return gan.init_state(prng.base_key(0))
+
+
+def _leaves_allclose(a, b, atol=1e-6):
+    flat_a, flat_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+def test_init_seeds_ema_at_params(gan, state0):
+    assert state0.ema is not None
+    _leaves_allclose(state0.ema["ggen"], state0.ggen.params)
+    _leaves_allclose(state0.ema["cgen"], state0.cgen.params)
+
+
+def test_disabled_by_default():
+    gan = DCVGAN(tiny_config())
+    state = gan.init_state(prng.base_key(0))
+    assert state.ema is None
+    # and with_ema_params is the identity
+    assert state.with_ema_params() is state
+
+
+def test_update_math(gan, state0):
+    """After each step, ema == d*ema_prev + (1-d)*params_new, leafwise."""
+    state = state0
+    key = prng.base_key(7)
+    expected = {"ggen": state.ema["ggen"], "cgen": state.ema["cgen"]}
+    for i in range(2):
+        state, _ = gan.jitted_train_step(state, fake_batch(seed=i), key)
+        expected = jax.tree.map(
+            lambda e, p: e * DECAY + p * (1 - DECAY),
+            expected,
+            {"ggen": state.ggen.params, "cgen": state.cgen.params},
+        )
+        _leaves_allclose(state.ema["ggen"], expected["ggen"], atol=1e-5)
+        _leaves_allclose(state.ema["cgen"], expected["cgen"], atol=1e-5)
+    # and the average genuinely lags the live params after an update
+    diffs = jax.tree.map(
+        lambda e, p: float(np.max(np.abs(np.asarray(e - p)))),
+        state.ema["ggen"], state.ggen.params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_gating_freezes_ema():
+    """num_dis_update=2: generators step on even iterations only
+    (reference inverted-name gating); EMA must be bit-frozen on odd ones."""
+    gan = DCVGAN(ema_config(num_dis_update=2))
+    state = gan.init_state(prng.base_key(0))
+    key = prng.base_key(3)
+    # step 1: 1 % 2 != 0 -> no G update -> EMA untouched
+    state1, _ = gan.jitted_train_step(state, fake_batch(seed=0), key)
+    _leaves_allclose(state1.ema, state.ema, atol=0)
+    _leaves_allclose(state1.ggen.params, state.ggen.params, atol=0)
+    # step 2: G updates -> EMA moves
+    state2, _ = gan.jitted_train_step(state1, fake_batch(seed=1), key)
+    moved = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a - b)))),
+        state2.ema, state1.ema,
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_with_ema_params_substitution(gan, state0):
+    key = prng.base_key(11)
+    state, _ = gan.jitted_train_step(state0, fake_batch(seed=4), key)
+    swapped = state.with_ema_params()
+    assert swapped.ema is None
+    _leaves_allclose(swapped.ggen.params, state.ema["ggen"])
+    _leaves_allclose(swapped.cgen.params, state.ema["cgen"])
+    # critics + BN stats + opt state untouched
+    _leaves_allclose(swapped.idis.params, state.idis.params, atol=0)
+    _leaves_allclose(swapped.ggen.batch_stats, state.ggen.batch_stats, atol=0)
+    assert int(swapped.step) == int(state.step)
+
+
+def test_checkpoint_roundtrip_with_ema(gan, state0, tmp_path):
+    mgr = CheckpointManager(tmp_path / "models")
+    state = state0.replace(step=state0.step + 1)
+    mgr.save(state)
+    mgr.wait()
+    template = gan.init_state(prng.base_key(0))
+    restored = mgr.restore(template, 1)
+    _leaves_allclose(restored.ema, state.ema, atol=0)
+    mgr.close()
+
+
+def test_legacy_checkpoint_restores_without_ema(tmp_path):
+    """Checkpoints written before GANState grew the ``ema`` field (no
+    ``ema`` entry on disk) must keep restoring into EMA-disabled states.
+    The legacy layout is reproduced by saving the pre-ema field set."""
+    import orbax.checkpoint as ocp
+
+    gan = DCVGAN(tiny_config())
+    state = gan.init_state(prng.base_key(0)).replace(step=jax.numpy.int32(5))
+    legacy = {
+        f: getattr(state, f)
+        for f in ("step", "ggen", "cgen", "idis", "vdis", "gdis")
+    }
+    with ocp.CheckpointManager(
+        tmp_path / "models", options=ocp.CheckpointManagerOptions(create=True)
+    ) as mgr:
+        mgr.save(5, args=ocp.args.StandardSave(legacy))
+        mgr.wait_until_finished()
+
+    template = gan.init_state(prng.base_key(0))
+    assert template.ema is None
+    restored = CheckpointManager(tmp_path / "models").restore(template, 5)
+    assert restored.ema is None
+    assert int(restored.step) == 5
+    _leaves_allclose(restored.ggen.params, state.ggen.params, atol=0)
+
+
+def test_ema_decay_validation():
+    with pytest.raises(ConfigError):
+        ema_config(trainer={"ema_decay": 1.0})
+    with pytest.raises(ConfigError):
+        ema_config(trainer={"ema_decay": -0.1})

@@ -135,6 +135,37 @@ def test_per_replica_bn_step_runs(devices):
     assert changed
 
 
+def test_per_replica_step_keeps_ema_replicated(devices):
+    """With trainer.ema_decay > 0, the shard_map per-replica step must keep
+    the generator EMA replica-identical (params are pmean'd, so the EMA
+    update needs no collective of its own) and advance it."""
+    mesh = create_mesh(data=-1)
+    cfg = dp_config(batchsize=8)
+    cfg.trainer.ema_decay = 0.5
+    gan = DCVGAN(cfg)
+    state = replicate(gan.init_state(prng.base_key(0)), mesh)
+    assert state.ema is not None
+    rng = np.random.default_rng(2)
+    batch = {
+        "color": rng.uniform(-1, 1, (8, T, S, S, 3)).astype(np.float32),
+        "depth": rng.uniform(-1, 1, (8, T, S, S, 1)).astype(np.float32),
+    }
+    step_fn = gan.sharded_train_step(mesh)
+    new_state, _ = step_fn(state, shard_batch(batch, mesh), prng.base_key(0))
+    leaf = jax.tree.leaves(new_state.ema)[0]
+    assert leaf.sharding.is_fully_replicated
+    # ema == 0.5*init + 0.5*new_params, leafwise
+    for e, p0, p1 in zip(
+        jax.tree.leaves(new_state.ema["ggen"]),
+        jax.tree.leaves(state.ema["ggen"]),
+        jax.tree.leaves(new_state.ggen.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e), 0.5 * np.asarray(p0) + 0.5 * np.asarray(p1),
+            atol=1e-6,
+        )
+
+
 def test_per_replica_vs_global_bn_differ(devices):
     """The BN-semantics switch is real: per-replica statistics produce
     different losses than global-batch statistics on heterogeneous shards."""

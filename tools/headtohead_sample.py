@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ema", action="store_true",
+                    help="sample the EMA generators carried by the "
+                    "checkpoints (trainer.ema_decay > 0 runs)")
     ap.add_argument("--out", type=Path,
                     default=REPO / "results" / "headtohead" / "tpurun_samples")
     args = ap.parse_args(argv)
@@ -56,6 +59,10 @@ def main(argv=None):
             print(f">> iter {it}: already sampled", file=sys.stderr)
             continue
         state = ckpt.restore(state0, it)
+        if args.ema:
+            if state.ema is None:
+                raise SystemExit(f"--ema: checkpoint {it} carries no EMA tree")
+            state = state.with_ema_params()
         out.mkdir(parents=True, exist_ok=True)
         wrote = 0
         for off in range(0, args.n, args.batch):
