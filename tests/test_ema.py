@@ -98,6 +98,28 @@ def test_gating_freezes_ema():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def test_ema_is_a_pure_observer():
+    """Enabling EMA must not change the live training trajectory: the same
+    (state, batch, key) sequence yields bitwise-identical live params with
+    ema_decay on vs off. (Across *executables* — e.g. the same run
+    recompiled on the chip with the EMA ops fused in — only statistical
+    equality holds; GAN training chaos amplifies reduction-order noise,
+    measured in HEADTOHEAD.md's EMA section.)"""
+    gan_off = DCVGAN(tiny_config())
+    gan_on = DCVGAN(ema_config(trainer={"ema_decay": 0.99}))
+    s_off = gan_off.init_state(prng.base_key(0))
+    s_on = gan_on.init_state(prng.base_key(0))
+    key = prng.base_key(5)
+    for i in range(3):
+        batch = fake_batch(seed=i)
+        s_off, _ = gan_off.jitted_train_step(s_off, batch, key)
+        s_on, _ = gan_on.jitted_train_step(s_on, batch, key)
+    for field in ("ggen", "cgen", "idis", "vdis", "gdis"):
+        m_off, m_on = getattr(s_off, field), getattr(s_on, field)
+        _leaves_allclose(m_on.params, m_off.params, atol=0)
+        _leaves_allclose(m_on.batch_stats, m_off.batch_stats, atol=0)
+
+
 def test_with_ema_params_substitution(gan, state0):
     key = prng.base_key(11)
     state, _ = gan.jitted_train_step(state0, fake_batch(seed=4), key)

@@ -56,6 +56,8 @@ def seeds_figure():
     ]
     for p in sorted(H2H.glob("tpu_scores_seed*.json")):
         n = p.stem.removeprefix("tpu_scores_seed")
+        if not n.isdigit():  # EMA-leg files (tpu_scores_seedN_ema*.json)
+            continue
         runs.append((f"dcvgan-tpu seed {n}", load_tpu(p.name), TPU,
                      styles[int(n) % len(styles)]))
     for p in sorted(H2H.glob("refrun-seed*")):
@@ -100,6 +102,53 @@ def seeds_figure():
             f"{c[it]['fid']:.1f}" if it in c else "—" for c in cols
         )
         print(f"| {it} | {cells} |")
+
+
+def ema_figure():
+    """Live vs EMA-sampled FID within each EMA head-to-head run
+    (tpu_scores_seedN_ema{,_live}.json pairs — the same checkpoints,
+    generators read either live or through GANState.with_ema_params)."""
+    pairs = []
+    for p in sorted(H2H.glob("tpu_scores_seed*_ema.json")):
+        seed = p.stem.removeprefix("tpu_scores_seed").removesuffix("_ema")
+        live = H2H / f"tpu_scores_seed{seed}_ema_live.json"
+        if live.exists():
+            pairs.append((seed, load_tpu(live.name), load_tpu(p.name)))
+    if not pairs:
+        print("no EMA trajectory pairs present; skipping ema figure")
+        return
+    fig, axes = plt.subplots(1, len(pairs), figsize=(5.6 * len(pairs), 4.2),
+                             dpi=150, squeeze=False)
+    for ax, (seed, live, ema) in zip(axes[0], pairs):
+        for name, data, ls in (("live params", live, "-"),
+                               ("EMA (decay 0.99)", ema, "--")):
+            xs = sorted(data)
+            ax.plot(xs, [data[x]["fid"] for x in xs], color=TPU, lw=2, ls=ls,
+                    marker="o", ms=3.5, label=name)
+        ax.set_title(f"seed {seed}: live vs EMA sampling (FID, lower better)",
+                     color=TEXT, fontsize=11)
+        ax.set_xlabel("iteration", color=TEXT2, fontsize=9)
+        ax.grid(color=GRID, lw=0.8)
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+        for s in ("left", "bottom"):
+            ax.spines[s].set_color(GRID)
+        ax.tick_params(colors=TEXT2, labelsize=8)
+        ax.legend(frameon=False, fontsize=9, labelcolor=TEXT2)
+    fig.tight_layout()
+    out = H2H / "headtohead-ema.png"
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+    for seed, live, ema in pairs:
+        print(f"\nseed {seed}:\n| iter | live FID | EMA FID | live IS | EMA IS |")
+        print("|---|---|---|---|---|")
+        for it in sorted(set(live) | set(ema)):
+            lv, em = live.get(it, {}), ema.get(it, {})
+            print(f"| {it} | {lv.get('fid', float('nan')):.1f} | "
+                  f"{em.get('fid', float('nan')):.1f} | "
+                  f"{lv.get('is', float('nan')):.3f} | "
+                  f"{em.get('is', float('nan')):.3f} |")
 
 
 def main():
@@ -154,6 +203,7 @@ def main():
         )
 
     seeds_figure()
+    ema_figure()
 
 
 if __name__ == "__main__":
