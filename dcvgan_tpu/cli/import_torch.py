@@ -62,6 +62,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         new_ms = ms.replace(params=params, batch_stats=stats or ms.batch_stats)
         state = state.replace(**{name: new_ms})
     state = state.replace(step=jax.numpy.asarray(args.iteration, jax.numpy.int32))
+    # the EMA (if the config enables one) was seeded at the random init
+    # params — re-seed it at the imported weights so default-EMA readers
+    # (cli.infer, cli.serve) sample the imported generators
+    state = state.with_reseeded_ema()
 
     args.out.mkdir(parents=True, exist_ok=True)
     save_config(cfg, args.out / "config.yml")

@@ -755,6 +755,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         help="shard each chunk's batch over N chips (-1 = all visible); "
         "1 = single-device serving (default)",
     )
+    parser.add_argument(
+        "--no-ema",
+        action="store_true",
+        help="serve the live generator params even when the checkpoint "
+        "carries an EMA (A/B the two through the same endpoint)",
+    )
     args = parser.parse_args(argv)
 
     if args.sink != "null" and args.out is None:
@@ -763,7 +769,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     cfg, gan, state = load_run(args.result_dir, args.iteration)
     # serve the EMA generators when the checkpoint carries them (identity
     # otherwise) — the averaged params are the deployment artifact
-    state = state.with_ema_params()
+    if not args.no_ema:
+        state = state.with_ema_params()
     mesh = None
     if args.mesh != 1:
         from dcvgan_tpu.parallel.mesh import create_mesh

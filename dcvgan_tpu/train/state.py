@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -49,6 +50,20 @@ class GANState(struct.PyTreeNode):
             "vdis": self.vdis,
             "gdis": self.gdis,
         }
+
+    def with_reseeded_ema(self) -> "GANState":
+        """The state with its EMA re-seeded at the CURRENT generator params
+        (identity when EMA is disabled). Use after replacing generator
+        parameters wholesale (torch import, enabling EMA on a resumed run)
+        so the average tracks the new weights instead of stale/random ones."""
+        if self.ema is None:
+            return self
+        return self.replace(
+            ema={
+                "ggen": jax.tree.map(jnp.copy, self.ggen.params),
+                "cgen": jax.tree.map(jnp.copy, self.cgen.params),
+            }
+        )
 
     def with_ema_params(self) -> "GANState":
         """The state with generator params swapped for their EMA (identity

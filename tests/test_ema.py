@@ -170,6 +170,76 @@ def test_legacy_checkpoint_restores_without_ema(tmp_path):
     _leaves_allclose(restored.ggen.params, state.ggen.params, atol=0)
 
 
+def test_enable_ema_on_existing_run_seeds_from_restored_params(tmp_path):
+    """Turning trainer.ema_decay on for a run checkpointed without an EMA
+    must resume (not crash) with the EMA seeded at the RESTORED generator
+    params — both for new-style (explicit ema: None) and pre-ema-field
+    (no entry) disk layouts."""
+    import orbax.checkpoint as ocp
+
+    gan_off = DCVGAN(tiny_config())
+    state = gan_off.init_state(prng.base_key(1)).replace(step=jax.numpy.int32(3))
+
+    # new-style layout: GANState with ema=None
+    mgr = CheckpointManager(tmp_path / "new")
+    mgr.save(state)
+    mgr.wait()
+    mgr.close()
+    # pre-ema layout: the legacy field set, no ema entry at all
+    legacy = {
+        f: getattr(state, f)
+        for f in ("step", "ggen", "cgen", "idis", "vdis", "gdis")
+    }
+    with ocp.CheckpointManager(
+        tmp_path / "old", options=ocp.CheckpointManagerOptions(create=True)
+    ) as omgr:
+        omgr.save(3, args=ocp.args.StandardSave(legacy))
+        omgr.wait_until_finished()
+
+    gan_on = DCVGAN(ema_config())
+    template = gan_on.init_state(prng.base_key(0))  # different init
+    assert template.ema is not None
+    for name in ("new", "old"):
+        restored = CheckpointManager(tmp_path / name).restore(template, 3)
+        assert restored.ema is not None
+        assert int(restored.step) == 3
+        _leaves_allclose(restored.ggen.params, state.ggen.params, atol=0)
+        # seeded at the restored weights, not the template's random init
+        _leaves_allclose(restored.ema["ggen"], state.ggen.params, atol=0)
+        _leaves_allclose(restored.ema["cgen"], state.cgen.params, atol=0)
+
+
+def test_disable_ema_drops_stored_average(gan, state0, tmp_path):
+    """Turning EMA off for a run whose checkpoints carry one restores the
+    live fields and drops the average (next save writes ema: None)."""
+    mgr = CheckpointManager(tmp_path / "models")
+    state, _ = gan.jitted_train_step(state0, fake_batch(seed=9),
+                                     prng.base_key(9))
+    mgr.save(state)
+    mgr.wait()
+    mgr.close()
+    gan_off = DCVGAN(tiny_config())
+    template = gan_off.init_state(prng.base_key(0))
+    restored = CheckpointManager(tmp_path / "models").restore(
+        template, int(state.step)
+    )
+    assert restored.ema is None
+    _leaves_allclose(restored.ggen.params, state.ggen.params, atol=0)
+    _leaves_allclose(restored.vdis.params, state.vdis.params, atol=0)
+
+
+def test_with_reseeded_ema(gan, state0):
+    """After a step the EMA lags the live params; re-seeding snaps it to
+    them (the torch-import path relies on this). Identity when disabled."""
+    state, _ = gan.jitted_train_step(state0, fake_batch(seed=2),
+                                     prng.base_key(2))
+    reseeded = state.with_reseeded_ema()
+    _leaves_allclose(reseeded.ema["ggen"], state.ggen.params, atol=0)
+    _leaves_allclose(reseeded.ema["cgen"], state.cgen.params, atol=0)
+    off = DCVGAN(tiny_config()).init_state(prng.base_key(0))
+    assert off.with_reseeded_ema() is off
+
+
 def test_ema_decay_validation():
     with pytest.raises(ConfigError):
         ema_config(trainer={"ema_decay": 1.0})

@@ -49,7 +49,9 @@ def seeds_figure():
     """FID trajectories for both frameworks across every seed leg present:
     results/headtohead/refrun-seed<N>/ directories on the reference side,
     tpu_scores_seed<N>.json files on ours (seed 0 is the unsuffixed pair)."""
-    styles = ["-", "--", ":", "-."]
+    # seed 0 (the unsuffixed baseline pair) owns the solid style; extra
+    # seed legs cycle the non-solid styles so no leg can collide with it
+    extra_styles = ["--", ":", "-."]
     runs = [
         ("dcvgan-tpu seed 0", load_tpu(), TPU, "-"),
         ("torch ref seed 0", load_ref(), REF, "-"),
@@ -58,14 +60,18 @@ def seeds_figure():
         n = p.stem.removeprefix("tpu_scores_seed")
         if not n.isdigit():  # EMA-leg files (tpu_scores_seedN_ema*.json)
             continue
+        if n == "0":
+            continue  # already present as the unsuffixed baseline
         runs.append((f"dcvgan-tpu seed {n}", load_tpu(p.name), TPU,
-                     styles[int(n) % len(styles)]))
+                     extra_styles[(int(n) - 1) % len(extra_styles)]))
     for p in sorted(H2H.glob("refrun-seed*")):
         if not (p / "eval_samples" / "scores.jsonl").exists():
             continue
         n = p.name.removeprefix("refrun-seed")
+        if not n.isdigit() or n == "0":
+            continue
         runs.append((f"torch ref seed {n}", load_ref(p.name), REF,
-                     styles[int(n) % len(styles)]))
+                     extra_styles[(int(n) - 1) % len(extra_styles)]))
     if len(runs) == 2:
         print("no extra seed trajectories present; skipping seeds figure")
         return
@@ -120,8 +126,9 @@ def ema_figure():
     fig, axes = plt.subplots(1, len(pairs), figsize=(5.6 * len(pairs), 4.2),
                              dpi=150, squeeze=False)
     for ax, (seed, live, ema) in zip(axes[0], pairs):
+        # the decay isn't recorded in the score files, so don't claim one
         for name, data, ls in (("live params", live, "-"),
-                               ("EMA (decay 0.99)", ema, "--")):
+                               ("EMA params", ema, "--")):
             xs = sorted(data)
             ax.plot(xs, [data[x]["fid"] for x in xs], color=TPU, lw=2, ls=ls,
                     marker="o", ms=3.5, label=name)

@@ -40,9 +40,14 @@ def main(argv=None):
     ap.add_argument("--ema", action="store_true",
                     help="sample the EMA generators carried by the "
                     "checkpoints (trainer.ema_decay > 0 runs)")
-    ap.add_argument("--out", type=Path,
-                    default=REPO / "results" / "headtohead" / "tpurun_samples")
+    ap.add_argument("--out", type=Path, default=None,
+                    help="sample directory (default: "
+                    "results/headtohead/tpurun_samples, with an _ema suffix "
+                    "under --ema so the two legs never share a directory)")
     args = ap.parse_args(argv)
+    if args.out is None:
+        name = "tpurun_samples_ema" if args.ema else "tpurun_samples"
+        args.out = REPO / "results" / "headtohead" / name
 
     cfg = load_config(args.run / "config.yml")
     gan = DCVGAN(cfg)
