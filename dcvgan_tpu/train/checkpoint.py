@@ -50,15 +50,22 @@ class CheckpointManager:
         Reads the checkpoint's structural metadata rather than parsing
         restore-error strings. Returns ``None`` when the metadata is
         unreadable (restore then proceeds without EMA-aware fallbacks)."""
+        absl_logger = logging.getLogger("absl")
+        prev_level = absl_logger.level
         try:
             # read from disk: the manager's item_metadata() only works for
-            # steps it saved/restored itself in this process
+            # steps it saved/restored itself in this process. The probe
+            # reads an item directory, so orbax warns about the (absent,
+            # irrelevant) checkpoint-level metadata file — silence it.
+            absl_logger.setLevel(logging.ERROR)
             meta = ocp.StandardCheckpointer().metadata(
                 self.directory / str(step) / "default"
             )
             tree = meta.item_metadata.tree
         except Exception:
             return None
+        finally:
+            absl_logger.setLevel(prev_level)
         if not isinstance(tree, dict) or "ema" not in tree:
             return False  # pre-ema layout: no such entry at all
         # a real EMA is a {"ggen": ..., "cgen": ...} dict; a disabled one
