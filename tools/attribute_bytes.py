@@ -104,8 +104,11 @@ def parse_instruction(line: str):
     shape_str = rest[: om.start()]
     out_b = shape_bytes(shape_str)
     # operands: %refs inside the top-level parens right after the opcode,
-    # before any ", attr=" — cut at the matching close paren
-    args = rest[om.end():]
+    # before any ", attr=" — cut at the matching close paren.
+    # om indexes into the " "-padded string, so the char right after "(" in
+    # `rest` coordinates is om.end()-1 (using om.end() would eat the first
+    # operand's "%" and silently drop it from the byte accounting).
+    args = rest[om.end() - 1:]
     depth = 1
     for i, c in enumerate(args):
         if c == "(":
