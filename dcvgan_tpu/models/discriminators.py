@@ -32,6 +32,7 @@ from dcvgan_tpu.models.layers import (
     Dtype,
     MaskedSyncBatchNorm,
     Noise,
+    TimeStackConv3d,
     batch_norm,
     leaky_relu,
     same_pad_conv,
@@ -158,8 +159,8 @@ class VideoDiscriminator(nn.Module):
         self, xg: jax.Array, xc: jax.Array, train: bool = True
     ) -> jax.Array:
         """(B, T, H, W, ch) pair -> logits (B, T-12, 4, 4)."""
-        conv3 = lambda f, name: same_pad_conv(
-            f, 4, 2, self.dtype, name, ndim=3, torch_default_init=True
+        conv3 = lambda f, name: TimeStackConv3d(
+            features=f, dtype=self.dtype, torch_default_init=True, name=name
         )
         noise = lambda name: Noise(self.use_noise, self.noise_sigma, self.dtype, name=name)
 
@@ -234,8 +235,8 @@ class GradientDiscriminator(nn.Module):
         ``xc`` is ignored (dead code in the reference, :326-331).
         """
         del xc
-        conv3 = lambda f, name: same_pad_conv(
-            f, 4, 2, self.dtype, name, ndim=3, torch_default_init=True
+        conv3 = lambda f, name: TimeStackConv3d(
+            features=f, dtype=self.dtype, torch_default_init=True, name=name
         )
         noise = lambda name: Noise(self.use_noise, self.noise_sigma, self.dtype, name=name)
 

@@ -198,6 +198,81 @@ def same_pad_conv(
     )
 
 
+class TimeStackConv3d(nn.Module):
+    """Time-valid 3D conv (the video-critic shape: kernel (k,k,k), strides
+    (1, s, s), padding ((0,0),(1,1),(1,1))) with a faster lowering for small
+    input-channel counts.
+
+    Parameter tree is identical to the ``nn.Conv`` this replaces (one
+    ``kernel`` of shape (kt, kh, kw, Cin, Cout), same init), so checkpoints,
+    the torch importer, and parity tests are unaffected — only the lowering
+    changes, and only when ``Cin * kt <= 128`` (one MXU contraction tile):
+    the kt temporally-shifted views are stacked on channels (a temporal
+    im2col) and the whole conv runs as ONE standard 2D conv over B*T' frames
+    with Cin' = kt*Cin. Exact same math (bf16 reassociation only).
+
+    Why: XLA's direct 3D lowering runs the critics' 1–3 channel stems at
+    ~2% of their HBM speed-of-light — the single largest conv cost in the
+    flagship train step (results/conv_microbench.json). The stacked
+    lowering measured 2.4–6.0x faster on those shapes on a v5e chip
+    (tools/probe_stem3d.py, results/stem3d_probe.json); larger-Cin convs
+    keep the direct lowering, which the microbenchmark shows already runs
+    at healthy MXU rates. Reference conv being lowered:
+    /root/reference/src/discriminator.py:180-207,285-306.
+    """
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+    torch_default_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kt = kh = kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            (
+                conv_torch_default_init
+                if self.torch_default_init
+                else conv2d_kernel_init
+            ),
+            (kt, kh, kw, cin, self.features),
+        )
+        x, w = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
+        b, t, h, wd, _ = x.shape
+        tout = t - kt + 1
+        if cin * kt <= 128 and tout >= 1:
+            # temporal im2col: channel index is dt*cin + ci, matching the
+            # (kt, ci) row-major collapse of the kernel below
+            stacked = jnp.concatenate(
+                [x[:, dt : dt + tout] for dt in range(kt)], axis=-1
+            )
+            w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(
+                kh, kw, kt * cin, self.features
+            )
+            y = jax.lax.conv_general_dilated(
+                stacked.reshape(b * tout, h, wd, kt * cin),
+                w2,
+                (self.stride, self.stride),
+                ((1, 1), (1, 1)),
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+                ),
+            )
+            return y.reshape((b, tout) + y.shape[1:])
+        return jax.lax.conv_general_dilated(
+            x,
+            w,
+            (1, self.stride, self.stride),
+            ((0, 0), (1, 1), (1, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+            ),
+        )
+
+
 def up_conv(
     features: int, dtype: Dtype, name: str | None = None
 ) -> nn.ConvTranspose:

@@ -100,10 +100,12 @@ def test_bench_conv_executes_and_matches_shape():
     # end-to-end: the re-emitted conv from a parsed signature compiles and
     # runs (CPU here; the chip run uses the same path), with sane timing
     (row,) = collect_convs(HLO)
-    dt_s, flops = bench_conv(row, iters=2, rtt=0.0)
+    dt_s, flops, flops_xla, bytes_min = bench_conv(row, iters=2, rtt=0.0)
     assert dt_s > 0
-    # prod(out) * Cin * taps MACs = 256 * 4 * 9; backends count 1 or 2
-    # flops per MAC (CPU counts 1, TPU counts 2) — accept either
-    macs = float(np.prod(row["out"][1]) * 4 * 9)
-    if flops:  # cost analysis present on CPU backend
-        assert 0.9 * macs <= flops <= 2.2 * macs
+    # analytic: 2 * prod(out) * Cin * taps = 2 * 256 * 4 * 9
+    assert flops == 2.0 * np.prod(row["out"][1]) * 4 * 9
+    # bf16 read lhs + rhs, write out, once each
+    assert bytes_min == 2 * (2 * 8 * 8 * 4 + 3 * 3 * 4 * 8 + 2 * 4 * 4 * 8)
+    if flops_xla:  # cost model present: any per-MAC convention, no loop
+        macs = float(np.prod(row["out"][1]) * 4 * 9)
+        assert 0.9 * macs <= flops_xla <= 2.2 * macs

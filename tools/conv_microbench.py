@@ -43,6 +43,24 @@ _CONV_RE = re.compile(
 )
 _DEF_RE = re.compile(r"%([\w\.\-]+)\s*=\s*(\S+?)\s+[a-z]")
 
+# HBM bandwidth (bytes/s) by device_kind substring, for per-conv memory SoL
+_HBM_BW_TABLE = (
+    ("v6", 1640e9),
+    ("v5p", 2765e9),
+    ("v5", 819e9),  # v5e / v5 lite
+    ("v4", 1228e9),
+    ("v3", 900e9),
+)
+_HBM_BW = None
+
+
+def _hbm_bw(device_kind: str):
+    kind = device_kind.lower()
+    for sub, bw in _HBM_BW_TABLE:
+        if sub in kind:
+            return bw
+    return None
+
 
 def _parse_shape(s: str):
     m = _SHAPE_RE.search(s)
@@ -165,24 +183,59 @@ def bench_conv(row, iters: int, rtt: float):
 
     def loop(x0):
         # serialize: feed a scalar derived from each output back into the
-        # next input so XLA cannot hoist or CSE the conv out of the loop
+        # next input so XLA cannot hoist or CSE the conv out of the loop.
+        # The dependency reads ONE output element (not a full-tensor mean,
+        # which would add an extra HBM pass over the output per iteration
+        # and bias memory-bound convs slow).
         def body(x, _):
             y = one(x)
-            return x + (y.mean() * 0).astype(dt), None
+            probe = jax.lax.slice(y, (0,) * y.ndim, (1,) * y.ndim)
+            return x + (probe.reshape(()) * 0).astype(dt), None
 
         x, _ = jax.lax.scan(body, x0, None, length=iters)
         return x.reshape(-1)[0]
 
     compiled = jax.jit(loop).lower(lhs).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    flops = float(cost.get("flops", 0.0)) / iters
+    # Two FLOPs conventions:
+    #  - analytic: 2 * prod(out) * contracted-dot width — the MXU-shaped
+    #    work incl. dilation zeros (what a naive systolic mapping multiplies)
+    #  - xla: the cost model of a NO-LOOP compile of the same conv — the
+    #    useful-FLOPs convention the repo's MFU numbers use. (Scan-body
+    #    cost is counted once on TPU but x trip-count on CPU, so the
+    #    single-call compile sidesteps the convention entirely.)
+    rhs_spec = _spec_from_labels(
+        re.match(r"\w+_(\w+)->", labels).group(1), ndim, rhs=True
+    )
+    rhs_in = rhs_shape[rhs_spec[1]]
+    taps = 1
+    for t in w.get("size", [1] * nsp):
+        taps *= t
+    out_n = 1
+    for d in row["out"][1]:
+        out_n *= d
+    flops = 2.0 * out_n * rhs_in * taps
+    flops_xla = None
+    try:
+        cost = jax.jit(one).lower(lhs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_xla = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    # analytic HBM floor for this conv: read lhs + rhs, write out, once
+    esize = 2 if dt == jnp.bfloat16 else 4
+    lhs_n = 1
+    for d in lhs_shape:
+        lhs_n *= d
+    rhs_n = 1
+    for d in rhs_shape:
+        rhs_n *= d
+    bytes_min = esize * (lhs_n + rhs_n + out_n)
     float(compiled(lhs))  # warm
     t0 = time.perf_counter()
     float(compiled(lhs))
     dt_s = max(1e-9, time.perf_counter() - t0 - rtt) / iters
-    return dt_s, flops
+    return dt_s, flops, flops_xla, bytes_min
 
 
 def main(argv=None):
@@ -235,6 +288,8 @@ def main(argv=None):
     rows = collect_convs(hlo)
     rtt = bench._scalar_rtt()
     peak = bench._peak_flops(jax.devices()[0].device_kind)
+    global _HBM_BW
+    _HBM_BW = _hbm_bw(jax.devices()[0].device_kind)
 
     results = []
     skipped_flops = 0.0
@@ -260,7 +315,7 @@ def main(argv=None):
             flush=True,
         )
         try:
-            dt_s, flops = bench_conv(row, args.iters, rtt)
+            dt_s, flops, flops_xla, bytes_min = bench_conv(row, args.iters, rtt)
         except Exception as e:  # record and continue
             results.append(
                 {
@@ -271,14 +326,22 @@ def main(argv=None):
                 }
             )
             continue
+        mem_sol_s = bytes_min / _HBM_BW if _HBM_BW else None
         r = {
             "sig": f"{row['lhs'][1]}*{row['rhs'][1]}->{row['out'][1]} "
             f"{row['dim_labels']} {row['window']}",
             "count": row["count"],
             "us": round(dt_s * 1e6, 1),
-            "gflops": round(flops / 1e9, 2),
-            "tflops_per_s": round(flops / dt_s / 1e12, 1),
-            "mxu_eff": round(flops / dt_s / peak, 3) if peak else None,
+            # analytic = MXU-shaped dot work incl. dilation zeros;
+            # xla = the cost model's useful-FLOPs count (repo MFU convention)
+            "gflops_analytic": round(flops / 1e9, 2),
+            "gflops_xla": round(flops_xla / 1e9, 2) if flops_xla else None,
+            "mxu_occupancy": round(flops / dt_s / peak, 3) if peak else None,
+            "mfu_xla": round(flops_xla / dt_s / peak, 3)
+            if peak and flops_xla
+            else None,
+            "bytes_mb": round(bytes_min / 1e6, 1),
+            "pct_mem_sol": round(100 * mem_sol_s / dt_s, 1) if mem_sol_s else None,
             "total_ms": round(dt_s * 1e3 * row["count"], 2),
         }
         results.append(r)
@@ -286,14 +349,18 @@ def main(argv=None):
 
     timed = [r for r in results if "us" in r]
     conv_only_ms = sum(r["total_ms"] for r in timed)
-    total_flops = sum(r["gflops"] * r["count"] for r in timed)
+    total_xla = sum((r["gflops_xla"] or 0.0) * r["count"] for r in timed)
+    total_analytic = sum(r["gflops_analytic"] * r["count"] for r in timed)
     summary = {
         "batch": args.batch,
         "conv_groups_timed": len(timed),
         "conv_groups_errored": len(results) - len(timed),
         "conv_only_ms": round(conv_only_ms, 2),
-        "conv_gflops": round(total_flops, 1),
-        "conv_only_mfu": round(total_flops * 1e9 / (conv_only_ms / 1e3) / peak, 4)
+        "conv_gflops_xla": round(total_xla, 1),
+        "conv_gflops_analytic": round(total_analytic, 1),
+        "conv_only_mfu_xla": round(
+            total_xla * 1e9 / (conv_only_ms / 1e3) / peak, 4
+        )
         if peak and conv_only_ms
         else None,
         "skipped_small_gflops": round(skipped_flops / 1e9, 2),
