@@ -198,3 +198,58 @@ def test_conv2d_init_distribution():
     w = np.asarray(variables["params"]["ups_1"]["kernel"]).ravel()
     assert abs(w.std() - 0.02) < 0.002
     assert abs(w.mean()) < 0.002
+
+
+@pytest.mark.parametrize("cin", [1, 3, 40])  # 40*4=160 > 128: direct branch
+def test_timestack_conv3d_matches_direct(cin):
+    # TimeStackConv3d's temporal-im2col branch (Cin*kt <= 128) must be
+    # numerically identical (f32) to the direct 3D lowering, with the same
+    # parameter tree; Cin*kt > 128 takes the direct branch by construction.
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dcvgan_tpu.models.layers import TimeStackConv3d
+
+    m = TimeStackConv3d(features=8)
+    x = jax.random.normal(jax.random.key(0), (2, 7, 16, 16, cin))
+    variables = m.init({"params": jax.random.key(1)}, x)
+    w = variables["params"]["kernel"]
+    assert w.shape == (4, 4, 4, cin, 8)
+    y = m.apply(variables, x)
+    dn = lax.conv_dimension_numbers(
+        (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+    )
+    ref = lax.conv_general_dilated(
+        x, w, (1, 2, 2), ((0, 0), (1, 1), (1, 1)), dimension_numbers=dn
+    )
+    assert y.shape == ref.shape == (2, 4, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_timestack_conv3d_gradients_match_direct():
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dcvgan_tpu.models.layers import TimeStackConv3d
+
+    m = TimeStackConv3d(features=4)
+    x = jax.random.normal(jax.random.key(2), (2, 6, 8, 8, 3))
+    variables = m.init({"params": jax.random.key(3)}, x)
+
+    def loss_stacked(w, x):
+        return jnp.sum(m.apply({"params": {"kernel": w}}, x) ** 2)
+
+    def loss_direct(w, x):
+        dn = lax.conv_dimension_numbers(
+            (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+        )
+        y = lax.conv_general_dilated(
+            x, w, (1, 2, 2), ((0, 0), (1, 1), (1, 1)), dimension_numbers=dn
+        )
+        return jnp.sum(y**2)
+
+    w = variables["params"]["kernel"]
+    gw1, gx1 = jax.grad(loss_stacked, (0, 1))(w, x)
+    gw2, gx2 = jax.grad(loss_direct, (0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-4, atol=1e-4)
