@@ -8,7 +8,6 @@ so pin it against a small synthetic module in the exact syntax XLA prints
 """
 
 import numpy as np
-import pytest
 
 from tools.attribute_bytes import parse_computations, parse_instruction, shape_bytes
 from tools.conv_microbench import (
