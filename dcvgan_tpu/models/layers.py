@@ -11,6 +11,7 @@ init distributions are part of the observable training dynamics.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -198,6 +199,79 @@ def same_pad_conv(
     )
 
 
+# trace-time ceiling on Cin*kt for TimeStackConv3d's stacked branch.
+# DEFAULT 0 = direct 3D lowering everywhere: the stacked branch measured
+# 2.4-6.0x faster on isolated stems (results/stem3d_probe.json) but does
+# NOT survive the full train step — in-step A/B (tools/probe_stem_ab.py,
+# results/stem_ab_probe*.json) shows ~1% noise at b=20 and a 22-52%
+# step-time REGRESSION at b=128, whichever backward is used. Probes set
+# this to 128 to exercise the branch.
+STACK3D_MAX_CIN_KT = 0
+# use the direct 3D conv's gradients even when the forward is stacked
+# (the stacked forward's autodiff materializes the concat cotangent and
+# overlap-adds it back; measured worse either way at b=128)
+STACK3D_DIRECT_BWD = True
+
+
+def _stem3d_direct(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+    """XLA's native time-valid 3D conv, strides (1, s, s), pad (0,1,1)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        (1, stride, stride),
+        ((0, 0), (1, 1), (1, 1)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+        ),
+    )
+
+
+def _stem3d_stacked(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+    """Temporal im2col: stack the kt shifted views on channels and run ONE
+    2D conv over B*T' frames with Cin' = kt*Cin. Exact same math as
+    ``_stem3d_direct`` (bf16 reassociation only)."""
+    kt, kh, kw, cin, cout = w.shape
+    b, t, h, wd, _ = x.shape
+    tout = t - kt + 1
+    # channel index is dt*cin + ci, matching the (kt, ci) row-major
+    # collapse of the kernel below
+    stacked = jnp.concatenate([x[:, dt : dt + tout] for dt in range(kt)], axis=-1)
+    w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(kh, kw, kt * cin, cout)
+    y = jax.lax.conv_general_dilated(
+        stacked.reshape(b * tout, h, wd, kt * cin),
+        w2,
+        (stride, stride),
+        ((1, 1), (1, 1)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+        ),
+    )
+    return y.reshape((b, tout) + y.shape[1:])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stem3d_fast(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+    """Stacked forward, direct-3D-conv backward: the forward is where XLA's
+    3D lowering loses 10-50x on 1-3 channel stems, while its backward ops
+    (lhs_dilated data-grad, batch-contraction weight-grad) are already
+    MXU-efficient — and autodiffing the stacked forward would instead
+    materialize + overlap-add the concat cotangent."""
+    return _stem3d_stacked(x, w, stride)
+
+
+def _stem3d_fast_fwd(x, w, stride):
+    return _stem3d_stacked(x, w, stride), (x, w)
+
+
+def _stem3d_fast_bwd(stride, res, dy):
+    x, w = res
+    _, vjp = jax.vjp(lambda x_, w_: _stem3d_direct(x_, w_, stride), x, w)
+    return vjp(dy)
+
+
+_stem3d_fast.defvjp(_stem3d_fast_fwd, _stem3d_fast_bwd)
+
+
 class TimeStackConv3d(nn.Module):
     """Time-valid 3D conv (the video-critic shape: kernel (k,k,k), strides
     (1, s, s), padding ((0,0),(1,1),(1,1))) with a faster lowering for small
@@ -206,18 +280,21 @@ class TimeStackConv3d(nn.Module):
     Parameter tree is identical to the ``nn.Conv`` this replaces (one
     ``kernel`` of shape (kt, kh, kw, Cin, Cout), same init), so checkpoints,
     the torch importer, and parity tests are unaffected — only the lowering
-    changes, and only when ``Cin * kt <= 128`` (one MXU contraction tile):
-    the kt temporally-shifted views are stacked on channels (a temporal
-    im2col) and the whole conv runs as ONE standard 2D conv over B*T' frames
-    with Cin' = kt*Cin. Exact same math (bf16 reassociation only).
+    can change, gated by ``STACK3D_MAX_CIN_KT``: when ``Cin * kt`` fits one
+    MXU contraction tile, the kt temporally-shifted views are stacked on
+    channels (a temporal im2col) and the conv runs as ONE standard 2D conv
+    over B*T' frames with Cin' = kt*Cin. Exact same math (bf16
+    reassociation only).
 
-    Why: XLA's direct 3D lowering runs the critics' 1–3 channel stems at
-    ~2% of their HBM speed-of-light — the single largest conv cost in the
-    flagship train step (results/conv_microbench.json). The stacked
-    lowering measured 2.4–6.0x faster on those shapes on a v5e chip
-    (tools/probe_stem3d.py, results/stem3d_probe.json); larger-Cin convs
-    keep the direct lowering, which the microbenchmark shows already runs
-    at healthy MXU rates. Reference conv being lowered:
+    History (kept as a documented negative): XLA's direct 3D lowering runs
+    the critics' 1-3 channel stems at ~2% of their HBM speed-of-light in
+    isolation, and the stacked lowering measured 2.4-6.0x faster on those
+    shapes (tools/probe_stem3d.py, results/stem3d_probe.json) — but the
+    win does NOT survive the full train step: in-step A/B at b=20 is ~1%
+    noise and at b=128 the stacked branch REGRESSES step time 22-52%
+    regardless of which backward is used (tools/probe_stem_ab.py,
+    results/stem_ab_probe*.json), so the default stays on XLA's direct
+    lowering. Reference conv being lowered:
     /root/reference/src/discriminator.py:180-207,285-306.
     """
 
@@ -241,36 +318,12 @@ class TimeStackConv3d(nn.Module):
             (kt, kh, kw, cin, self.features),
         )
         x, w = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
-        b, t, h, wd, _ = x.shape
-        tout = t - kt + 1
-        if cin * kt <= 128 and tout >= 1:
-            # temporal im2col: channel index is dt*cin + ci, matching the
-            # (kt, ci) row-major collapse of the kernel below
-            stacked = jnp.concatenate(
-                [x[:, dt : dt + tout] for dt in range(kt)], axis=-1
-            )
-            w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(
-                kh, kw, kt * cin, self.features
-            )
-            y = jax.lax.conv_general_dilated(
-                stacked.reshape(b * tout, h, wd, kt * cin),
-                w2,
-                (self.stride, self.stride),
-                ((1, 1), (1, 1)),
-                dimension_numbers=jax.lax.conv_dimension_numbers(
-                    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
-                ),
-            )
-            return y.reshape((b, tout) + y.shape[1:])
-        return jax.lax.conv_general_dilated(
-            x,
-            w,
-            (1, self.stride, self.stride),
-            ((0, 0), (1, 1), (1, 1)),
-            dimension_numbers=jax.lax.conv_dimension_numbers(
-                (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
-            ),
-        )
+        tout = x.shape[1] - kt + 1
+        if cin * kt <= STACK3D_MAX_CIN_KT and tout >= 1:
+            if STACK3D_DIRECT_BWD:
+                return _stem3d_fast(x, w, self.stride)
+            return _stem3d_stacked(x, w, self.stride)
+        return _stem3d_direct(x, w, self.stride)
 
 
 def up_conv(

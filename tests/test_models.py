@@ -200,8 +200,20 @@ def test_conv2d_init_distribution():
     assert abs(w.mean()) < 0.002
 
 
+@pytest.fixture
+def stacked_stem3d():
+    # force the stacked branch on (default is 0 = direct everywhere; the
+    # stacked lowering is kept as a probed negative, see models/layers.py)
+    from dcvgan_tpu.models import layers
+
+    old = layers.STACK3D_MAX_CIN_KT
+    layers.STACK3D_MAX_CIN_KT = 128
+    yield
+    layers.STACK3D_MAX_CIN_KT = old
+
+
 @pytest.mark.parametrize("cin", [1, 3, 40])  # 40*4=160 > 128: direct branch
-def test_timestack_conv3d_matches_direct(cin):
+def test_timestack_conv3d_matches_direct(cin, stacked_stem3d):
     # TimeStackConv3d's temporal-im2col branch (Cin*kt <= 128) must be
     # numerically identical (f32) to the direct 3D lowering, with the same
     # parameter tree; Cin*kt > 128 takes the direct branch by construction.
@@ -226,7 +238,22 @@ def test_timestack_conv3d_matches_direct(cin):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
 
 
-def test_timestack_conv3d_gradients_match_direct():
+@pytest.mark.parametrize("direct_bwd", [True, False])
+def test_timestack_conv3d_gradients_match_direct(direct_bwd, stacked_stem3d):
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dcvgan_tpu.models import layers
+
+    old = layers.STACK3D_DIRECT_BWD
+    layers.STACK3D_DIRECT_BWD = direct_bwd
+    try:
+        _check_timestack_gradients()
+    finally:
+        layers.STACK3D_DIRECT_BWD = old
+
+
+def _check_timestack_gradients():
     import jax.numpy as jnp
     from jax import lax
 
