@@ -33,6 +33,14 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 
+# Persistent compilation cache: cold compiles through the dev tunnel cost
+# 40-200 s per jit signature, so a full bench run is 10-40 min cold but
+# ~2 min warm. Safe to delete the dir at any time.
+jax.config.update(
+    "jax_compilation_cache_dir", str(REPO / ".jax_bench_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 TRAIN_SWEEP = (20, 64, 128)  # flagship batch first, then utilization probes
 
 
