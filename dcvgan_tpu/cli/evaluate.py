@@ -33,6 +33,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     )
     parser.add_argument("--batchsize", type=int, default=32)
     parser.add_argument("--weights", default=None, help="extractor .npz")
+    parser.add_argument(
+        "--max-real-samples", type=int, default=0,
+        help="cap on reference clips embedded for fid/prd; 0 (default) "
+        "embeds the full --ref-dir, the reference's protocol "
+        "(/root/reference/src/trainer.py:205)",
+    )
     args = parser.parse_args(argv)
 
     needs_ref = {"fid", "fvd", "prd"} & set(args.metrics)
@@ -45,6 +51,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         num_samples=0,  # unused in the directory protocol
         batchsize=args.batchsize,
         extractor=extractor,
+        max_real_samples=args.max_real_samples,
     )
     scores = evaluator.evaluate_dirs(args.gen_dir, args.ref_dir)
     record = {k: round(float(v), 6) for k, v in scores.items()}

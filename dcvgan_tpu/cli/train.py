@@ -74,6 +74,7 @@ def build_evaluator(cfg, dataset):
         batchsize=cfg.evaluation.batchsize,
         dataset=dataset,
         extractor=extractor,
+        max_real_samples=cfg.evaluation.max_real_samples,
     )
 
 

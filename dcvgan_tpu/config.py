@@ -171,6 +171,12 @@ class EvaluationConfig:
     # is actually built, so run dirs whose provenance config carries this
     # field stay loadable for infer/serve from any CWD).
     extractor_weights: Optional[str] = None
+    # How many real clips FID/PRD statistics are estimated from: a seeded
+    # random subset of this size, or <= 0 for the full processed set — the
+    # reference's protocol compares against its entire color-mp4 tree
+    # (/root/reference/src/trainer.py:205). 512 keeps in-training evals
+    # cheap; final scoring runs should set 0.
+    max_real_samples: int = 512
 
     def validate(self) -> None:
         if self.batchsize <= 0 or self.num_samples <= 0:

@@ -26,19 +26,39 @@ from dcvgan_tpu.eval.sampler import generate_samples
 from dcvgan_tpu.utils.video_np import videos_to_uint8
 
 
-def _jitted_sample_embed(gan, extractor, batchsize: int):
+def _jitted_sample_embed(gan, extractor, batchsize: int, mesh=None):
     """Build the fused eval-mode sample_videos -> host-identical uint8
     quantization -> feature embed function, entirely on device. Cached per
     Evaluator instance (``_sample_embed_fn``) — a module-level lru_cache
     here would pin model bundles + compiled executables alive for the
-    process lifetime after their Evaluator is discarded."""
+    process lifetime after their Evaluator is discarded.
 
-    @jax.jit
+    With ``mesh``, the chunk runs SPMD over the mesh's batch-parallel axes
+    (the serving pattern, cli/serve.make_chunk_fn): state/variables/key
+    replicated, the sampled batch — and therefore the returned features and
+    probabilities — sharded across chips. XLA partitions the generator and
+    extractor convs and the partitionable threefry draws; a protocol-scale
+    eval (reference: 3k-10k samples, /root/reference/config/isogd-depth.yml
+    :42-43) then scales with the data-axis size instead of running
+    replicated on every chip.
+    """
+
     def fn(state, variables, key):
         _, xc = gan.sample_videos(state, key, batchsize)
         return extractor.device_embed(variables, xc)
 
-    return fn
+    if mesh is None:
+        return jax.jit(fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dcvgan_tpu.parallel.mesh import data_axes
+
+    rep = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(data_axes(mesh)))  # (B, D) over batch
+    return jax.jit(
+        fn, in_shardings=(rep, rep, rep), out_shardings=(sharded, sharded)
+    )
 
 
 class Evaluator:
@@ -50,6 +70,7 @@ class Evaluator:
         dataset=None,
         extractor: Optional[FeatureExtractor] = None,
         max_real_samples: int = 512,
+        mesh=None,
     ):
         self.metrics = list(metrics)
         self.num_samples = num_samples
@@ -62,6 +83,24 @@ class Evaluator:
         self.max_real_samples = max_real_samples
         self._real_cache = None
         self._sample_embed_fn = None  # jit cache: one compile per Evaluator
+        self.mesh = None
+        if mesh is not None:
+            self.set_mesh(mesh)
+
+    def set_mesh(self, mesh) -> None:
+        """Run device-resident sample->embed SPMD over ``mesh``'s
+        batch-parallel axes (see _jitted_sample_embed). The eval batch must
+        split evenly across them."""
+        from dcvgan_tpu.parallel.mesh import batch_size_divisor
+
+        divisor = batch_size_divisor(mesh)
+        if self.batchsize % divisor:
+            raise ValueError(
+                f"evaluation.batchsize {self.batchsize} not divisible by "
+                f"the mesh's batch-parallel size {divisor}"
+            )
+        self.mesh = mesh
+        self._sample_embed_fn = None  # resharded fn needs a fresh compile
 
     # ------------------------------------------------------------ real side
     def _real_features(self):
@@ -116,7 +155,7 @@ class Evaluator:
         num = self.num_samples if num is None else num
         if self._sample_embed_fn is None:
             self._sample_embed_fn = _jitted_sample_embed(
-                gan, self.extractor, self.batchsize
+                gan, self.extractor, self.batchsize, self.mesh
             )
         fn = self._sample_embed_fn
         feats, probs = [], []

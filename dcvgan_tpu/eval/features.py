@@ -116,6 +116,7 @@ class FeatureExtractor:
         weights_path: Optional[str] = None,
         seed: int = 0,
         num_classes: int = 101,
+        width: int = 64,
     ):
         self._mean = None  # (3,) channel means on the 0-255 scale (C3D only)
         if weights_path is not None:
@@ -139,10 +140,12 @@ class FeatureExtractor:
             digest = hashlib.sha256(Path(weights_path).read_bytes()).hexdigest()
             self.fingerprint = f"{topology}-npz/sha256={digest[:16]}"
         else:
-            self.model = C3DFeatures(num_classes=num_classes)
+            self.model = C3DFeatures(num_classes=num_classes, width=width)
             dummy = jnp.zeros((1, 16, 64, 64, 3), jnp.float32)
             self.variables = self.model.init(jax.random.key(seed), dummy)
             self.fingerprint = f"c3d-seeded/seed={seed}"
+            if width != 64:  # non-default towers are a different embedding
+                self.fingerprint += f",width={width}"
 
         is_c3d = isinstance(self.model, C3D)
         mean = None if self._mean is None else jnp.asarray(self._mean)

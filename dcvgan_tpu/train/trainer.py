@@ -87,6 +87,15 @@ class Trainer:
         )
         self.ckpt = CheckpointManager(run_dir / "models")
         self.evaluator = evaluator
+        if evaluator is not None and batch_size_divisor(self.mesh) > 1:
+            # Protocol-scale eval (3k-10k samples) scales with the mesh's
+            # batch-parallel size instead of running replicated per chip.
+            # An eval batch that doesn't split stays on the (correct,
+            # replicated) single-program path.
+            try:
+                evaluator.set_mesh(self.mesh)
+            except ValueError as e:
+                self.logger.info(f"eval stays unsharded: {e}")
         self.base_key = prng.base_key(config.seed)
 
         # init or resume

@@ -235,6 +235,80 @@ def test_device_resident_eval_matches_host_path(extractor):
         np.testing.assert_allclose(fused[k], host[k], rtol=1e-4, atol=1e-5)
 
 
+def tiny_gan(batchsize=2):
+    from dcvgan_tpu import prng
+    from dcvgan_tpu.config import ExperimentConfig
+    from dcvgan_tpu.train.step import DCVGAN
+
+    cfg = ExperimentConfig.from_dict({
+        "batchsize": batchsize,
+        "geometric_info": {"name": "depth", "channel": 1},
+        "ggen": {"dim_z_content": 8, "dim_z_motion": 4, "ngf": 8},
+        "cgen": {"dim_z_color": 4, "ngf": 8},
+        "idis": {"ndf": 8}, "vdis": {"ndf": 8}, "gdis": {"ndf": 8},
+        "trainer": {"precision": "float32", "donate_state": False},
+    })
+    gan = DCVGAN(cfg)
+    return gan, gan.init_state(prng.base_key(0))
+
+
+def test_mesh_sharded_eval_matches_single_device(extractor, devices):
+    """Device-resident sample->embed jitted SPMD over the mesh's data axis
+    must score the same videos as the unsharded path (state/key replicated,
+    partitionable threefry: sharding is a layout choice, not semantics)."""
+    from dcvgan_tpu import prng
+    from dcvgan_tpu.parallel.mesh import create_mesh, replicate
+
+    gan, state = tiny_gan()
+    real = fake_videos(8, seed=13)
+    key = prng.base_key(7)
+
+    plain = Evaluator(metrics=["is", "fid"], num_samples=8, batchsize=4,
+                      dataset=ArrayDataset(real), extractor=extractor)
+    base_feats, base_probs = plain.sample_and_embed(gan, state, key)
+    base_scores = plain.evaluate(gan, state, key)
+
+    mesh = create_mesh(data=4, batchsize=4)
+    sharded = Evaluator(metrics=["is", "fid"], num_samples=8, batchsize=4,
+                        dataset=ArrayDataset(real), extractor=extractor,
+                        mesh=mesh)
+    rep_state = replicate(state, mesh)
+    feats, probs = sharded.sample_and_embed(gan, rep_state, key)
+    np.testing.assert_allclose(feats, base_feats, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(probs, base_probs, rtol=1e-4, atol=1e-5)
+    scores = sharded.evaluate(gan, rep_state, key)
+    for k in base_scores:
+        np.testing.assert_allclose(scores[k], base_scores[k],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_set_mesh_requires_divisible_batch(extractor, devices):
+    from dcvgan_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=4, batchsize=4)
+    ev = Evaluator(metrics=["is"], num_samples=6, batchsize=6,
+                   extractor=extractor)
+    with pytest.raises(ValueError, match="not divisible"):
+        ev.set_mesh(mesh)
+    assert ev.mesh is None  # rejected mesh must not stick
+
+
+def test_max_real_samples_config_exposed():
+    """evaluation.max_real_samples flows from YAML through build_evaluator
+    (VERDICT r2 #5's config-exposure half)."""
+    from dcvgan_tpu.cli.train import build_evaluator
+    from dcvgan_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_dict(
+        {"evaluation": {"metrics": ["is"], "max_real_samples": 0}}
+    )
+    assert cfg.evaluation.max_real_samples == 0
+    ev = build_evaluator(cfg, dataset=None)
+    assert ev.max_real_samples == 0
+    # default stays the cheap in-training subset
+    assert ExperimentConfig.from_dict({}).evaluation.max_real_samples == 512
+
+
 def test_score_features_lazy_real_side():
     """score_features is the single metric-dispatch point: IS-only scoring
     must never touch the real side; fid/prd without one must fail; the
