@@ -50,12 +50,10 @@ def _jitted_sample_embed(gan, extractor, batchsize: int, mesh=None):
     if mesh is None:
         return jax.jit(fn)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dcvgan_tpu.parallel.mesh import batch_sharding, replicated
 
-    from dcvgan_tpu.parallel.mesh import data_axes
-
-    rep = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P(data_axes(mesh)))  # (B, D) over batch
+    rep = replicated(mesh)
+    sharded = batch_sharding(mesh)  # (B, D) over the batch-parallel axes
     return jax.jit(
         fn, in_shardings=(rep, rep, rep), out_shardings=(sharded, sharded)
     )
@@ -90,9 +88,17 @@ class Evaluator:
     def set_mesh(self, mesh) -> None:
         """Run device-resident sample->embed SPMD over ``mesh``'s
         batch-parallel axes (see _jitted_sample_embed). The eval batch must
-        split evenly across them."""
+        split evenly across them. Single-controller only: sample_and_embed
+        fetches the sharded features with np.asarray, which cannot read
+        shards living on another process's devices — multi-host runs keep
+        the replicated path (whose outputs every process can read)."""
         from dcvgan_tpu.parallel.mesh import batch_size_divisor
 
+        if jax.process_count() > 1:
+            raise ValueError(
+                "sharded eval is single-controller only; multi-host runs "
+                "use the replicated eval path"
+            )
         divisor = batch_size_divisor(mesh)
         if self.batchsize % divisor:
             raise ValueError(
@@ -200,8 +206,15 @@ class Evaluator:
             if ref_dir is None:
                 return None  # score_features raises "fid/prd need ..."
             ref_paths = sorted(Path(ref_dir).glob("*.mp4"))
-            if self.max_real_samples > 0:
-                ref_paths = ref_paths[: self.max_real_samples]
+            if 0 < self.max_real_samples < len(ref_paths):
+                # seeded random subset, matching _real_features — the
+                # lexicographically-first files are a biased sample when
+                # name order correlates with content
+                rng = np.random.default_rng(0)
+                idx = rng.choice(
+                    len(ref_paths), size=self.max_real_samples, replace=False
+                )
+                ref_paths = [ref_paths[i] for i in sorted(idx)]
             return self._embed_paths(ref_paths)[0]
 
         return score_features(self.metrics, feats, probs, ref_feats)

@@ -102,14 +102,29 @@ def _spec_from_labels(labels: str, ndim: int, rhs: bool = False):
 def collect_convs(hlo_text: str):
     """-> list of conv signature dicts with multiplicities."""
     comps, _ = parse_computations(hlo_text)
+    # instruction names are only unique within one computation (every fusion
+    # has its own %param_0, ...): resolve operands against the defining
+    # computation first, with a module-wide table as fallback for
+    # cross-computation references
+    comp_shapes: dict[str, dict[str, tuple]] = {}
     shapes: dict[str, tuple] = {}
-    for lines in comps.values():
+    for cname, lines in comps.items():
+        local: dict[str, tuple] = {}
         for line in lines:
             m = _DEF_RE.match(line.strip())
             if m:
-                shapes[m.group(1)] = _parse_shape(m.group(2))
+                local[m.group(1)] = _parse_shape(m.group(2))
+        comp_shapes[cname] = local
+        shapes.update(local)
     groups: dict[tuple, dict] = {}
-    for lines in comps.values():
+    for cname, lines in comps.items():
+        local = comp_shapes[cname]
+
+        def lookup(op):
+            if op in local:
+                return local[op]
+            return shapes.get(op, (None, None))
+
         for line in lines:
             m = _CONV_RE.search(line)
             if not m:
@@ -118,8 +133,8 @@ def collect_convs(hlo_text: str):
             ops = re.findall(r"%([\w\.\-]+)", operands)
             if len(ops) < 2:
                 continue
-            lhs = shapes.get(ops[0], (None, None))
-            rhs = shapes.get(ops[1], (None, None))
+            lhs = lookup(ops[0])
+            rhs = lookup(ops[1])
             out = _parse_shape(out_s)
             if lhs[1] is None or rhs[1] is None or out[1] is None:
                 continue

@@ -65,28 +65,33 @@ def main(argv=None):
         "direct": (0, False),
         "fwd_only": (128, True),
     }
+    # restore whatever the module shipped with (the measured default is the
+    # direct lowering) rather than pinning a hardcoded pair
+    saved = (layers.STACK3D_MAX_CIN_KT, layers.STACK3D_DIRECT_BWD)
     rows = []
-    for b in args.batches:
-        for mode in args.modes:
-            layers.STACK3D_MAX_CIN_KT, layers.STACK3D_DIRECT_BWD = mode_flags[mode]
-            gan = DCVGAN(cfg)  # fresh instance; lowering choice is trace-time
-            state = replicate(gan.init_state(key), mesh)
-            batch = shard_batch(
-                bench._make_batch(b, cfg.video_length, cfg.image_size), mesh
-            )
-            ips, flops = bench._train_rate(
-                gan, state, key, batch, bench._scan_steps(b), rtt
-            )
-            row = {
-                "batch": b,
-                "mode": mode,
-                "iters_per_sec": round(ips, 3),
-                "step_ms": round(1e3 / ips, 2),
-                "mfu": round(flops * ips / peak, 4) if peak and flops else None,
-            }
-            rows.append(row)
-            print(json.dumps(row), flush=True)
-    layers.STACK3D_MAX_CIN_KT, layers.STACK3D_DIRECT_BWD = 128, True
+    try:
+        for b in args.batches:
+            for mode in args.modes:
+                layers.STACK3D_MAX_CIN_KT, layers.STACK3D_DIRECT_BWD = mode_flags[mode]
+                gan = DCVGAN(cfg)  # fresh instance; lowering choice is trace-time
+                state = replicate(gan.init_state(key), mesh)
+                batch = shard_batch(
+                    bench._make_batch(b, cfg.video_length, cfg.image_size), mesh
+                )
+                ips, flops = bench._train_rate(
+                    gan, state, key, batch, bench._scan_steps(b), rtt
+                )
+                row = {
+                    "batch": b,
+                    "mode": mode,
+                    "iters_per_sec": round(ips, 3),
+                    "step_ms": round(1e3 / ips, 2),
+                    "mfu": round(flops * ips / peak, 4) if peak and flops else None,
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    finally:
+        layers.STACK3D_MAX_CIN_KT, layers.STACK3D_DIRECT_BWD = saved
 
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(rows, indent=1))
