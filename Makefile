@@ -1,6 +1,6 @@
 # Developer entry points (reference: /root/reference/Makefile).
 
-.PHONY: test test-fast format lint bench cpu-ratio serve-demo train-debug tb ci
+.PHONY: test test-fast test-par format lint bench cpu-ratio serve-demo train-debug tb ci
 
 test:  ## full suite on the virtual 8-device CPU mesh
 	python -m pytest tests/ -q
