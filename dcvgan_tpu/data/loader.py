@@ -113,13 +113,24 @@ class VideoLoader:
             rng.shuffle(idx)
         return idx
 
-    def _load_batch(self, indices: np.ndarray, epoch: int, b: int) -> Dict[str, np.ndarray]:
-        # Per-sample RNG derived from (seed, epoch, batch, position): the
-        # temporal crop is deterministic given the loader config, unlike the
-        # reference's global-RNG worker state.
+    def _load_batch(
+        self,
+        indices: np.ndarray,
+        epoch: int,
+        b: int,
+        pos_offset: int = 0,
+    ) -> Dict[str, np.ndarray]:
+        # Per-sample RNG derived from (seed, epoch, batch, GLOBAL position):
+        # the temporal crop is deterministic given the loader config, unlike
+        # the reference's global-RNG worker state. ``pos_offset`` maps this
+        # host's local slice back to global batch positions so a multi-host
+        # run decodes bit-identical samples to the single-host run of the
+        # same global batch (each host's positions must NOT restart at 0).
         def load_one(pos_and_i):
             pos, i = pos_and_i
-            rng = np.random.default_rng((self.seed, epoch, b, int(pos)))
+            rng = np.random.default_rng(
+                (self.seed, epoch, b, pos_offset + int(pos))
+            )
             return self.dataset.sample(int(i), rng)
 
         samples = list(self._pool.map(load_one, enumerate(indices)))
@@ -132,6 +143,10 @@ class VideoLoader:
         lb = len(global_idx) // self.process_count
         return global_idx[self.process_index * lb : (self.process_index + 1) * lb]
 
+    def _local_offset(self, global_idx: np.ndarray) -> int:
+        """Global batch position of this host's first local sample."""
+        return self.process_index * (len(global_idx) // self.process_count)
+
     def fetch_batch(
         self, epoch: int, limit: Optional[int] = None
     ) -> Dict[str, np.ndarray]:
@@ -141,10 +156,13 @@ class VideoLoader:
         the decoded sample count (a consumer wanting 25 videos shouldn't
         pay for a 256-video decode)."""
         order = self._epoch_indices(epoch)
-        local_idx = self._local_slice(order[: self.batchsize])
+        global_idx = order[: self.batchsize]
+        local_idx = self._local_slice(global_idx)
         if limit is not None:
             local_idx = local_idx[:limit]
-        return self._load_batch(local_idx, epoch, 0)
+        return self._load_batch(
+            local_idx, epoch, 0, pos_offset=self._local_offset(global_idx)
+        )
 
     def epoch_iterator(
         self, epoch: Optional[int] = None, start_batch: int = 0
@@ -183,7 +201,11 @@ class VideoLoader:
                         return
                     global_idx = order[b * self.batchsize : (b + 1) * self.batchsize]
                     local_idx = self._local_slice(global_idx)
-                    if not put(self._load_batch(local_idx, epoch, b)):
+                    loaded = self._load_batch(
+                        local_idx, epoch, b,
+                        pos_offset=self._local_offset(global_idx),
+                    )
+                    if not put(loaded):
                         return
             except BaseException as e:  # surface worker errors to the consumer
                 put(e)

@@ -22,9 +22,14 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the suite's cost is dominated by CPU jit
 # compiles of the 5-model train step (~30 wall-clock minutes cold); cached
 # executables cut repeat runs to a fraction. Safe to delete at any time.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Machine-fingerprinted + AOT-free (utils/compile_cache.py): entries written
+# on one host can never poison a run on another (round-3 postmortem).
+from dcvgan_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..")),
+    tag="tests",
+)
 
 
 @pytest.fixture(scope="session")

@@ -7,6 +7,7 @@ a 2-device mesh spanning both processes, assemble a global batch with
 reduce it under jit — exercising cross-process collectives end to end.
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -62,6 +63,134 @@ def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+# Full-stack multi-host leg (VERDICT r3 #3): the tiny 5-model train step on
+# an 8-device mesh, batch decoded through the loader's per-host sharding and
+# assembled via shard_batch's make_array_from_process_local_data path. The
+# same script runs as 1 process x 8 devices and 2 processes x 4 devices;
+# the parent asserts the losses are equal.
+STEP_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["DCVGAN_REPO"])
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_num_cpu_devices", int(os.environ["DCVGAN_LOCAL_DEVICES"]))
+
+from dcvgan_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache(os.environ["DCVGAN_REPO"], tag="dryrun")
+
+from dcvgan_tpu.parallel.mesh import multihost_init
+multihost_init()  # no-op for the single-process leg
+
+import numpy as np
+from dcvgan_tpu import prng
+from dcvgan_tpu.config import ExperimentConfig
+from dcvgan_tpu.data.dataset import VideoDataset
+from dcvgan_tpu.data.loader import VideoLoader
+from dcvgan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from dcvgan_tpu.train.step import DCVGAN
+
+nproc = jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+
+raw = {
+    "batchsize": 8,
+    "video_length": 16,
+    "image_size": 64,
+    "geometric_info": {"name": "depth", "channel": 1},
+    "trainer": {"precision": "float32", "donate_state": False},
+    "mesh": {"data": 8, "time": 1},
+    "ggen": {"dim_z_content": 8, "dim_z_motion": 4, "ngf": 8},
+    "cgen": {"dim_z_color": 4, "ngf": 8},
+    "idis": {"use_noise": True, "noise_sigma": 0.1, "ndf": 8},
+    "vdis": {"use_noise": False, "ndf": 8},
+    "gdis": {"use_noise": False, "ndf": 8},
+}
+cfg = ExperimentConfig.from_dict(raw)
+cfg.validate()
+
+root = os.environ["DCVGAN_DATA"]
+ds = VideoDataset(
+    name="mock", preprocess_func=None, video_length=16, image_size=64,
+    geometric_info="depth", extension="png", processed_root=root,
+)
+with VideoLoader(
+    ds, batchsize=8, n_workers=2, seed=0, shuffle=True,
+    process_index=jax.process_index(), process_count=nproc,
+) as loader:
+    batch = loader.fetch_batch(epoch=0)
+assert batch["color"].shape[0] == 8 // nproc, batch["color"].shape
+
+mesh = create_mesh(cfg)
+gan = DCVGAN(cfg)
+state = replicate(gan.init_state(prng.base_key(0)), mesh)
+device_batch = shard_batch(batch, mesh)  # multi-process: process-local path
+_, metrics = gan.jitted_train_step(state, device_batch, prng.base_key(0))
+print("METRICS " + json.dumps(
+    {k: float(v) for k, v in sorted(metrics.items())}
+), flush=True)
+"""
+
+
+def _run_step_leg(nproc: int, data_root, port=None):
+    env_base = {
+        **os.environ,
+        "DCVGAN_REPO": str(REPO),
+        "DCVGAN_DATA": str(data_root),
+        "DCVGAN_LOCAL_DEVICES": str(8 // nproc),
+        "JAX_PLATFORMS": "cpu",
+    }
+    env_base.pop("JAX_COORDINATOR_ADDRESS", None)
+    if nproc > 1:
+        env_base["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env_base["JAX_NUM_PROCESSES"] = str(nproc)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", STEP_WORKER],
+            env=(
+                {**env_base, "JAX_PROCESS_ID": str(i)} if nproc > 1 else env_base
+            ),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    metrics = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}/{nproc} failed:\n{out}"
+        line = [ln for ln in out.splitlines() if ln.startswith("METRICS ")]
+        assert line, f"proc {i}/{nproc} printed no METRICS:\n{out}"
+        metrics.append(json.loads(line[-1][len("METRICS "):]))
+    return metrics
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """2 procs x 4 devices must reproduce the 1 proc x 8 devices losses:
+    same global batch through the loader's per-host slices (global-position
+    crop RNG), same mesh, cross-process sync-BN/gradient collectives."""
+    from dcvgan_tpu.data.mock import generate_mock_dataset
+
+    root = tmp_path / "processed" / "mock" / "train"
+    generate_mock_dataset(root)
+    # 8 samples for a global batch of 8: repeat the 3 mock videos
+    entries = [f"{1 + i % 3} 17" for i in range(8)]
+    (root / "list.txt").write_text("\n".join(entries) + "\n")
+
+    single = _run_step_leg(1, tmp_path)[0]
+    double = _run_step_leg(2, tmp_path, port=_free_port())
+    assert double[0].keys() == single.keys()
+    # both processes observe identical (replicated) metrics
+    for k in single:
+        assert abs(double[0][k] - double[1][k]) < 1e-6, (k, double)
+        # cross-topology: same math up to collective reduction order (f32)
+        assert abs(double[0][k] - single[k]) < 5e-4 * max(1.0, abs(single[k])), (
+            k, single[k], double[0][k],
+        )
 
 
 def test_two_process_distributed_init_and_collective():

@@ -22,6 +22,7 @@ import copy
 import json
 import sys
 import time
+from math import gcd
 from pathlib import Path
 
 import jax
@@ -63,7 +64,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batches", nargs="+", type=int, default=[20])
     ap.add_argument("--unrolls", nargs="+", type=int, default=[1, 2, 4])
-    ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    ap.add_argument(
+        "--variants", nargs="+", default=list(VARIANTS), choices=list(VARIANTS)
+    )
     ap.add_argument(
         "--out", type=Path, default=REPO / "results" / "unroll_probe.json"
     )
@@ -89,8 +92,6 @@ def main(argv=None):
         steps = bench._scan_steps(b)
         lcm = 1
         for u in args.unrolls:
-            from math import gcd
-
             lcm = lcm * u // gcd(lcm, u)
         steps = max(steps // lcm, 1) * lcm
         for name in args.variants:
@@ -121,8 +122,10 @@ def main(argv=None):
                     }
                 rows.append(row)
                 print(json.dumps(row), flush=True)
+                # incremental write: a late failure never loses earlier rows
+                args.out.parent.mkdir(parents=True, exist_ok=True)
+                args.out.write_text(json.dumps(rows, indent=1))
 
-    args.out.write_text(json.dumps(rows, indent=1))
     print(f"wrote {args.out}", file=sys.stderr)
 
 
