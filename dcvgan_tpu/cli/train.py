@@ -38,8 +38,9 @@ def build_dataset(cfg) -> VideoDataset:
         geometric_info=cfg.geometric_info.name,
         processed_root=cfg.dataset.processed_root,
         extension=cfg.dataset.extension,
-        # uint8 passthrough only affects the uint8 modalities (color and
-        # non-surreal depth); float modalities are unaffected.
+        # raw passthrough: uint8 modalities (color, non-surreal depth)
+        # ship unnormalized; optical flow ships float16; segmentation
+        # ships class labels. The train step normalizes/upcasts on device.
         raw_uint8=cfg.trainer.device_normalize,
         cache_decoded=cfg.dataset.cache_decoded,
     )
@@ -86,6 +87,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     args = parser.parse_args(argv)
 
     multihost_init()
+    # persistent, machine-keyed compile cache: restarting/resuming a run
+    # skips the multi-minute step recompile (utils/compile_cache.py)
+    from dcvgan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(
+        Path(__file__).resolve().parent.parent.parent, tag="cli"
+    )
     cfg = load_config(args.config)
     dataset = build_dataset(cfg)
     evaluator = build_evaluator(cfg, dataset)

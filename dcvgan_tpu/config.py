@@ -278,6 +278,16 @@ class TrainerConfig:
     # When EMA is enabled, use the averaged generator for in-training
     # sample logging and evaluation (the usual reason to enable it).
     ema_eval: bool = True
+    # Host-side dispatch backpressure: bound how many train steps may be
+    # enqueued ahead of device completion. JAX dispatch is async; with no
+    # bound, a loop whose host side (decode + device_put enqueue) outruns
+    # the device drain accumulates every in-flight batch's host/device
+    # buffers — at reference-max scale (batch 100 ≈ 131 MB float32/step)
+    # this OOM-killed a 2,000-iteration run at 129 GB host RSS. Each
+    # iteration blocks on the metrics of the step dispatched this many
+    # iterations ago (normally already finished — zero stall in steady
+    # state). 0 disables.
+    max_inflight_steps: int = 32
 
 
 @dataclass

@@ -185,7 +185,14 @@ class VideoDataset:
         if gi == "optical-flow":
             flow = np.load(str(path / (gi + ".npy")), mmap_mode="r")
             flow = np.asarray(flow[list(frames)], dtype=np.float32)
-            return native.scale_f32(flow, 1.0 / self.image_size)  # (T, H, W, 2)
+            flow = native.scale_f32(flow, 1.0 / self.image_size)  # (T, H, W, 2)
+            if self.raw_uint8:
+                # ship half precision: 2x less host->device transfer; the
+                # train step upcasts on device. Normalized flow magnitudes
+                # (|px displacement|/image_size, typically <0.2) lose ~1e-4
+                # absolute — far below the color path's own uint8 grid.
+                return flow.astype(np.float16)
+            return flow
         if gi == "segmentation":
             segm = np.load(str(path / "segm.npy"), mmap_mode="r")
             segm = np.asarray(segm[list(frames)])

@@ -26,14 +26,19 @@ def register(name: str):
 
 
 def get_preprocessor(name: str) -> PreprocessFunc:
-    # import on demand so cv2-heavy modules don't load unless needed
+    # import on demand so cv2-heavy modules don't load unless needed;
+    # variant names live in their base module ("synthetic-large" ->
+    # synthetic.py registers both)
     if name not in _REGISTRY:
         import importlib
 
-        try:
-            importlib.import_module(f"dcvgan_tpu.data.preprocess.{name}")
-        except ModuleNotFoundError:
-            pass
+        for mod in (name.replace("-", "_"), name.split("-")[0]):
+            try:
+                importlib.import_module(f"dcvgan_tpu.data.preprocess.{mod}")
+            except ModuleNotFoundError:
+                continue
+            if name in _REGISTRY:
+                break
     if name not in _REGISTRY:
         raise KeyError(
             f"no preprocessor registered for dataset {name!r}; "

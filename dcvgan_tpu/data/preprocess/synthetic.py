@@ -14,8 +14,10 @@ so all three ``geometric_info`` branches of the dataset/trainer
 raw downloads. Structure matches the processed-dataset contract (color
 frames + depth frames + ``optical-flow.npy`` + ``segm.npy`` + list.txt).
 
-Registered as dataset name ``synthetic``; the ``dataset.path`` config value
-is unused (nothing raw to read).
+Registered as dataset name ``synthetic`` (64 videos) and
+``synthetic-large`` (256 videos — enough for the reference-max batch of
+100, /root/reference/config/isogd-flow.yml:5 / surreal-depth2.yml:5); the
+``dataset.path`` config value is unused (nothing raw to read).
 """
 
 from __future__ import annotations
@@ -71,6 +73,7 @@ def preprocess_synthetic_dataset(
     length: int,
     img_size: int,
     n_jobs: int,
+    n_videos: int = N_VIDEOS,
 ) -> None:
     del dataset_path, mode, n_jobs
     save_path = Path(save_path)
@@ -79,7 +82,7 @@ def preprocess_synthetic_dataset(
     rng = np.random.default_rng(0)
     lines = []
 
-    for n in range(1, N_VIDEOS + 1):
+    for n in range(1, n_videos + 1):
         vdir = save_path / str(n)
         (vdir / "color").mkdir(parents=True, exist_ok=True)
         (vdir / "depth").mkdir(parents=True, exist_ok=True)
@@ -114,3 +117,20 @@ def preprocess_synthetic_dataset(
         lines.append(f"{n} {N_FRAMES}")
 
     (save_path / "list.txt").write_text("\n".join(lines) + "\n")
+
+
+@register("synthetic-large")
+def preprocess_synthetic_large_dataset(
+    dataset_path: Path,
+    save_path: Path,
+    mode: str,
+    length: int,
+    img_size: int,
+    n_jobs: int,
+) -> None:
+    """256-video variant: same generator and seed stream, so its first 64
+    videos are bit-identical to ``synthetic``'s. Sized for reference-max
+    batch-100 training (a 64-video dataset yields zero full batches)."""
+    preprocess_synthetic_dataset(
+        dataset_path, save_path, mode, length, img_size, n_jobs, n_videos=256
+    )

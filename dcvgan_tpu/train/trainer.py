@@ -289,6 +289,21 @@ class Trainer:
                     iters_since_flush += 1
                     iteration += 1
 
+                    # dispatch backpressure: wait for the step enqueued
+                    # max_inflight_steps ago so host-side buffers of
+                    # in-flight batches stay bounded (see config docstring).
+                    # A scalar FETCH, not block_until_ready (which this
+                    # environment's tunneled backend can return from before
+                    # execution finishes — bench.py's timing note), amortized
+                    # to one round-trip every k/2 steps.
+                    k = cfg.trainer.max_inflight_steps
+                    if (
+                        k
+                        and len(pending) >= k
+                        and iters_since_flush % max(1, k // 2) == 0
+                    ):
+                        float(pending[-k]["loss_gen"])
+
                     if iteration % cfg.snapshot_interval == 0:
                         self.ckpt.save(self.state)
                     if iteration % cfg.log_samples_interval == 0:

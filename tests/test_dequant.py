@@ -154,3 +154,23 @@ def test_train_step_segm_label_ingest_equivalence():
             float(m_onehot[k]), float(m_labels[k]), rtol=1e-5,
             err_msg=f"metric {k} differs between one-hot and label ingest",
         )
+
+
+def test_dataset_raw_flow_float16(mock_data_root):
+    """Optical flow ships float16 under raw_uint8 (2x less transfer); it
+    must match the float32 branch within half-precision tolerance."""
+    from dcvgan_tpu.data.dataset import VideoDataset
+
+    kwargs = dict(
+        name="mock", preprocess_func=None, video_length=16, image_size=64,
+        geometric_info="optical-flow", extension="png",
+        processed_root=mock_data_root.parent.parent,
+    )
+    raw = VideoDataset(raw_uint8=True, **kwargs).sample(0, np.random.default_rng(0))
+    f32 = VideoDataset(raw_uint8=False, **kwargs).sample(0, np.random.default_rng(0))
+    flow16 = raw["optical-flow"]
+    assert flow16.dtype == np.float16
+    assert f32["optical-flow"].dtype == np.float32
+    np.testing.assert_allclose(
+        flow16.astype(np.float32), f32["optical-flow"], atol=2e-4
+    )

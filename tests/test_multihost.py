@@ -79,8 +79,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.config.update("jax_num_cpu_devices", int(os.environ["DCVGAN_LOCAL_DEVICES"]))
 
-from dcvgan_tpu.utils.compile_cache import enable_compile_cache
-enable_compile_cache(os.environ["DCVGAN_REPO"], tag="dryrun")
+# NO persistent compile cache here: a cross-run cached executable can
+# embed collective-rendezvous state that mismatches a freshly-compiled
+# twin on the other process — observed as gloo context init dying with
+# "GetKeyValue() timed out" on one side and "Connect timeout" on the
+# other whenever one process hit cache and the other compiled. Cold
+# compiles keep both processes bit-identical.
 
 from dcvgan_tpu.parallel.mesh import multihost_init
 multihost_init()  # no-op for the single-process leg
@@ -126,9 +130,49 @@ assert batch["color"].shape[0] == 8 // nproc, batch["color"].shape
 
 mesh = create_mesh(cfg)
 gan = DCVGAN(cfg)
+
+
+def barrier(name):
+    # long-timeout rendezvous through the coordination service: on a
+    # 1-core host the two workers' multi-minute compiles interleave with
+    # arbitrary skew (uneven persistent-cache hits), while gloo's context
+    # rendezvous inside a first collective execution times out after 30 s.
+    # Compile-then-barrier-then-execute bounds execution skew to ms.
+    if nproc > 1:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, 1200_000)
+
+
+# establish the 8-device gloo clique with a tiny collective FIRST (seconds
+# to compile), so the heavy step below reuses the existing context instead
+# of paying the 30 s rendezvous at its own first execution
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as SP
+
+warm = jax.jit(
+    lambda x: jnp.sum(x),
+    in_shardings=NamedSharding(mesh, SP("data")),
+    out_shardings=NamedSharding(mesh, SP()),
+).lower(jax.ShapeDtypeStruct((8,), jnp.float32)).compile()
+barrier("dcvgan_warmup_compiled")
+local_part = np.full((8 // nproc,), 1.0, np.float32)
+warm_in = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, SP("data")), local_part
+) if nproc > 1 else jax.device_put(
+    np.ones((8,), np.float32), NamedSharding(mesh, SP("data"))
+)
+assert float(warm(warm_in)) == 8.0
+
 state = replicate(gan.init_state(prng.base_key(0)), mesh)
 device_batch = shard_batch(batch, mesh)  # multi-process: process-local path
-_, metrics = gan.jitted_train_step(state, device_batch, prng.base_key(0))
+compiled = gan.jitted_train_step.lower(
+    state, device_batch, prng.base_key(0)
+).compile()
+barrier("dcvgan_step_compiled")
+_, metrics = compiled(state, device_batch, prng.base_key(0))
 print("METRICS " + json.dumps(
     {k: float(v) for k, v in sorted(metrics.items())}
 ), flush=True)
@@ -142,6 +186,11 @@ def _run_step_leg(nproc: int, data_root, port=None):
         "DCVGAN_DATA": str(data_root),
         "DCVGAN_LOCAL_DEVICES": str(8 // nproc),
         "JAX_PLATFORMS": "cpu",
+        # pin gloo's pairwise TCP mesh to loopback: with the default
+        # interface selection the 8-rank clique intermittently dies in
+        # context init ("Connect timeout" on one side, a 30 s KV-store
+        # timeout on the other) while the 2-rank clique works
+        "GLOO_SOCKET_IFNAME": "lo",
     }
     env_base.pop("JAX_COORDINATOR_ADDRESS", None)
     if nproc > 1:
@@ -181,8 +230,8 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     entries = [f"{1 + i % 3} 17" for i in range(8)]
     (root / "list.txt").write_text("\n".join(entries) + "\n")
 
-    single = _run_step_leg(1, tmp_path)[0]
-    double = _run_step_leg(2, tmp_path, port=_free_port())
+    single = _run_step_leg(1, tmp_path / "processed")[0]
+    double = _run_step_leg(2, tmp_path / "processed", port=_free_port())
     assert double[0].keys() == single.keys()
     # both processes observe identical (replicated) metrics
     for k in single:

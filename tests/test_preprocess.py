@@ -162,3 +162,21 @@ def test_isogd_preprocess_end_to_end(tmp_path):
 def test_mug_preprocessor_is_documented_stub():
     with pytest.raises(NotImplementedError):
         get_preprocessor("mug")(Path("x"), Path("y"), "train", 16, 64, 1)
+
+
+def test_synthetic_large_registry_and_size(tmp_path):
+    """Variant names resolve through their base module; synthetic-large
+    writes 256 videos whose first entries match ``synthetic``'s stream
+    (one RNG stream, same seed)."""
+    fn = get_preprocessor("synthetic-large")
+    out = tmp_path / "large"
+    fn(tmp_path, out, "train", 16, 16, 1)
+    lines = (out / "list.txt").read_text().strip().splitlines()
+    assert len(lines) == 256
+    small = tmp_path / "small"
+    get_preprocessor("synthetic")(tmp_path, small, "train", 16, 16, 1)
+    import numpy as np
+
+    a = np.load(out / "1" / "optical-flow.npy")
+    b = np.load(small / "1" / "optical-flow.npy")
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,167 @@
+"""Re-score archived head-to-head sample sets under multiple embeddings.
+
+VERDICT r3 "what's weak" #6: every cross-framework FID conclusion in
+HEADTOHEAD.md rides on ONE committed extractor
+(``assets/extractor-synthetic.npz``). This tool de-risks that dependency:
+it re-embeds the committed head-to-head sample sets (no new training)
+under several *independent* embeddings — the committed trained extractor
+plus differently-seeded random ``FeatureExtractor`` towers and any extra
+``.npz`` extractors passed in — and reports whether the
+reference-vs-TPU quality ordering holds per embedding.
+
+The protocol mirrors tools/score_iters.py exactly (deterministic
+first-16-frame crop, real set embedded once per embedding); only the
+embedding varies. Reference eval being stood in for:
+/root/reference/src/trainer.py:207-219 (evan's pretrained-C3D scoring).
+
+The default manifest is every committed late-trajectory sample set
+(`git ls-files results/headtohead`): the three torch-reference final
+evals (eval_008, one per seed) vs the TPU runs' late iterations — the
+same band HEADTOHEAD.md's no-regression claim is drawn from.
+
+Usage::
+
+    python tools/multiembed_score.py --real <real_color_mp4_dir> \
+        [--weights assets/extractor-synthetic.npz ...] \
+        [--seeds 1 2] [--widths 64] \
+        [--out results/multiembed_scores.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from tools.headtohead_score import _configure_jax_cpu, read_clips  # noqa: E402
+
+H2H = REPO / "results" / "headtohead"
+
+# (side, run label, path) for every committed head-to-head sample set that
+# belongs to the live (non-EMA) readout comparison
+MANIFEST = [
+    ("reference", "seed0@final", H2H / "refrun/eval_samples/eval_008"),
+    ("reference", "seed1@final", H2H / "refrun-seed1/eval_samples/eval_008"),
+    ("reference", "seed2@final", H2H / "refrun-seed2/eval_samples/eval_008"),
+    ("tpu", "seed0@1000", H2H / "tpurun_samples/iter_001000"),
+    ("tpu", "seed0@1200", H2H / "tpurun_samples/iter_001200"),
+    ("tpu", "seed0@1600", H2H / "tpurun_samples/iter_001600"),
+    ("tpu", "seed1@1200", H2H / "tpurun_samples_seed1/iter_001200"),
+    ("tpu", "seed1@1600", H2H / "tpurun_samples_seed1/iter_001600"),
+    ("tpu", "seed2@1200", H2H / "tpurun_samples_seed2/iter_001200"),
+    ("tpu", "seed2@1600", H2H / "tpurun_samples_seed2/iter_001600"),
+    ("tpu", "seed3@1600", H2H / "tpurun_samples_seed3/iter_001600"),
+]
+
+
+def embed_dir_with(
+    extractor, d: Path, batchsize: int = 32, limit: Optional[int] = None
+):
+    paths = sorted(Path(d).glob("*.mp4"))
+    if limit:
+        paths = paths[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no .mp4 files in {d}")
+    feats, probs = [], []
+    for s in range(0, len(paths), batchsize):
+        clips = read_clips(paths[s : s + batchsize])
+        f, p = extractor(clips, batchsize)
+        feats.append(f)
+        probs.append(p)
+    return np.concatenate(feats), np.concatenate(probs)
+
+
+def build_embeddings(args) -> Dict[str, object]:
+    from dcvgan_tpu.eval.features import FeatureExtractor
+
+    embeddings: Dict[str, object] = {}
+    for w in args.weights:
+        embeddings[f"trained:{Path(w).stem}"] = FeatureExtractor(
+            weights_path=str(w)
+        )
+    for seed in args.seeds:
+        for width in args.widths:
+            embeddings[f"random:s{seed}w{width}"] = FeatureExtractor(
+                seed=seed, width=width
+            )
+    return embeddings
+
+
+def score_all(args) -> dict:
+    from dcvgan_tpu.eval.metrics import score_features
+
+    embeddings = build_embeddings(args)
+    manifest = [(s, r, p) for s, r, p in MANIFEST if p.is_dir()]
+    missing = [str(p) for _, _, p in MANIFEST if not p.is_dir()]
+    out: dict = {"missing_sets": missing, "embeddings": {}, "summary": {}}
+    for name, ex in embeddings.items():
+        ref_feats, _ = embed_dir_with(ex, args.real, args.batchsize)
+        rows: List[dict] = []
+        for side, run, d in manifest:
+            feats, probs = embed_dir_with(ex, d, args.batchsize)
+            scores = score_features(["is", "fid"], feats, probs, ref_feats)
+            rows.append(
+                {"side": side, "run": run,
+                 **{k: round(v, 4) for k, v in scores.items()}}
+            )
+            print(f"[{name}] {side}/{run}: {scores}", flush=True)
+        out["embeddings"][name] = rows
+        # the claim under test (HEADTOHEAD.md): no quality regression for
+        # the TPU rebuild in the late-trajectory band
+        summ = {}
+        for side in ("reference", "tpu"):
+            fids = [r["fid"] for r in rows if r["side"] == side]
+            per_seed_best: Dict[str, float] = {}
+            for r in rows:
+                if r["side"] == side:
+                    seed = r["run"].split("@")[0]
+                    per_seed_best[seed] = min(
+                        per_seed_best.get(seed, float("inf")), r["fid"]
+                    )
+            summ[side] = {
+                "best_fid": min(fids),
+                "median_fid": float(np.median(fids)),
+                "median_per_seed_best_fid": float(
+                    np.median(list(per_seed_best.values()))
+                ),
+            }
+        summ["tpu_no_regression_best"] = bool(
+            summ["tpu"]["best_fid"] <= summ["reference"]["best_fid"]
+        )
+        summ["tpu_no_regression_median_per_seed"] = bool(
+            summ["tpu"]["median_per_seed_best_fid"]
+            <= summ["reference"]["median_per_seed_best_fid"]
+        )
+        out["summary"][name] = summ
+        # incremental write: embeddings are independent legs
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        args.out.write_text(json.dumps(out, indent=1))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--real", type=Path, required=True,
+                    help="real mp4 dir (data/processed/synthetic/train/color)")
+    ap.add_argument("--weights", nargs="*", type=Path,
+                    default=[REPO / "assets/extractor-synthetic.npz"])
+    ap.add_argument("--seeds", nargs="*", type=int, default=[1, 2])
+    ap.add_argument("--widths", nargs="*", type=int, default=[64])
+    ap.add_argument("--batchsize", type=int, default=32)
+    ap.add_argument("--out", type=Path,
+                    default=REPO / "results/multiembed_scores.json")
+    args = ap.parse_args(argv)
+    _configure_jax_cpu()
+    out = score_all(args)
+    print(json.dumps(out["summary"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
