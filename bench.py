@@ -194,7 +194,7 @@ def main() -> None:
 
     # machine-fingerprinted persistent cache: cold compiles through the dev
     # tunnel cost 40-200 s per jit signature; warm repeats take ~2 min total
-    enable_compile_cache(REPO, tag="bench")
+    enable_compile_cache(REPO)
 
     cfg = load_config(REPO / "configs" / "mug-depth.yml")
     cfg.trainer.precision = "bfloat16"
@@ -203,10 +203,19 @@ def main() -> None:
     mesh = create_mesh(cfg)
     gan = DCVGAN(cfg)
     key = prng.base_key(0)
-    state = replicate(gan.init_state(key), mesh)
 
+    def _setup():
+        # model init + round-trip probe are remote calls outside any stage;
+        # retried once like stage bodies (the tunneled backend occasionally
+        # drops a call — the old whole-run retry existed for exactly this)
+        return replicate(gan.init_state(key), mesh), _scalar_rtt()
+
+    try:
+        state, rtt = _setup()
+    except Exception as e:  # noqa: BLE001 - one retry, as _stage does
+        _note(f"setup attempt 1 failed: {e!r}")
+        state, rtt = _setup()
     t, s = cfg.video_length, cfg.image_size
-    rtt = _scalar_rtt()
     n_chips = jax.device_count()
     device_kind = jax.devices()[0].device_kind
     peak = _peak_flops(device_kind)
@@ -285,7 +294,7 @@ def main() -> None:
     for b in sweep_batches[1:]:
         point = _stage(f"train_b{b}", lambda b=b: _sweep_point(b), est_s=240)
         if point:
-            RESULTS["train_sweep"][str(b)] = point
+            RESULTS.setdefault("train_sweep", {})[str(b)] = point
             _refresh_train_summary()
 
     # ---- stage: fast paths (shared_fakes; + critic_joint_batch)

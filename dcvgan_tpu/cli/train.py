@@ -91,9 +91,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     # skips the multi-minute step recompile (utils/compile_cache.py)
     from dcvgan_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache(
-        Path(__file__).resolve().parent.parent.parent, tag="cli"
-    )
+    enable_compile_cache(Path(__file__).resolve().parent.parent.parent)
     cfg = load_config(args.config)
     dataset = build_dataset(cfg)
     evaluator = build_evaluator(cfg, dataset)

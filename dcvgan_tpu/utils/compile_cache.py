@@ -41,22 +41,37 @@ def machine_fingerprint() -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
-def enable_compile_cache(root: Path, tag: str = "default") -> Path | None:
+def enable_compile_cache(root: Path, tag: str = "shared") -> Path | None:
     """Point JAX's persistent compilation cache at a machine-keyed dir.
+
+    One SHARED dir per machine by default: JAX's cache is content-keyed
+    (backend, HLO, compile options), so the test suite, driver dryrun,
+    bench, and CLI all warm each other — cold compiles of the 5-model
+    step cost minutes on a 1-core host. Pass a distinct ``tag`` only when
+    isolation is explicitly wanted.
 
     Best-effort: any failure (read-only filesystem, unknown config name
     after a JAX upgrade) leaves the process running uncached rather than
-    broken. Returns the cache dir, or None if disabled.
+    broken — the defensive options are applied BEFORE the dir is enabled
+    so a partial failure can never yield an undefended active cache, and
+    the dir is rolled back if a later update fails. Returns the cache
+    dir, or None if disabled.
     """
     try:
+        # defenses first: a corrupt/unreadable entry must mean "recompile",
+        # never "crash" ...
+        jax.config.update("jax_raise_persistent_cache_errors", False)
+        # ... and machine-specific XLA-level artifacts (CPU AOT kernels)
+        # must never enter the persistent cache
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
         cache_dir = Path(root) / ".jax_cache" / f"{tag}-{machine_fingerprint()}"
         cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        # never embed machine-specific XLA-level artifacts (CPU AOT kernels)
-        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
-        # a corrupt/unreadable entry must mean "recompile", never "crash"
-        jax.config.update("jax_raise_persistent_cache_errors", False)
+        try:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            jax.config.update("jax_compilation_cache_dir", None)
+            raise
         return cache_dir
     except Exception:
         return None

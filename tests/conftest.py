@@ -27,8 +27,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 from dcvgan_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache(
-    os.path.abspath(os.path.join(os.path.dirname(__file__), "..")),
-    tag="tests",
+    os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 )
 
 

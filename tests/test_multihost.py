@@ -12,6 +12,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -208,7 +209,19 @@ def _run_step_leg(nproc: int, data_root, port=None):
         )
         for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    try:
+        # shared deadline: per-proc timeouts would stack serially, and a
+        # hung first proc must not leak its sibling (which would hold the
+        # coordinator port through subsequent retries)
+        deadline = time.monotonic() + 1500
+        outs = [
+            p.communicate(timeout=max(1.0, deadline - time.monotonic()))[0]
+            for p in procs
+        ]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     metrics = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}/{nproc} failed:\n{out}"

@@ -61,18 +61,21 @@ MANIFEST = [
 ]
 
 
-def embed_dir_with(
-    extractor, d: Path, batchsize: int = 32, limit: Optional[int] = None
-):
+def load_clips(d: Path, limit: Optional[int] = None) -> np.ndarray:
+    """Decode a directory of mp4s ONCE (uint8 clips are reused by every
+    embedding — decode is the dominant cost of a multi-embedding pass)."""
     paths = sorted(Path(d).glob("*.mp4"))
     if limit:
         paths = paths[:limit]
     if not paths:
         raise FileNotFoundError(f"no .mp4 files in {d}")
+    return read_clips(paths)
+
+
+def embed_clips(extractor, clips: np.ndarray, batchsize: int = 32):
     feats, probs = [], []
-    for s in range(0, len(paths), batchsize):
-        clips = read_clips(paths[s : s + batchsize])
-        f, p = extractor(clips, batchsize)
+    for s in range(0, len(clips), batchsize):
+        f, p = extractor(clips[s : s + batchsize], batchsize)
         feats.append(f)
         probs.append(p)
     return np.concatenate(feats), np.concatenate(probs)
@@ -101,11 +104,13 @@ def score_all(args) -> dict:
     manifest = [(s, r, p) for s, r, p in MANIFEST if p.is_dir()]
     missing = [str(p) for _, _, p in MANIFEST if not p.is_dir()]
     out: dict = {"missing_sets": missing, "embeddings": {}, "summary": {}}
+    real_clips = load_clips(args.real)
+    clip_sets = [(s, r, load_clips(p)) for s, r, p in manifest]
     for name, ex in embeddings.items():
-        ref_feats, _ = embed_dir_with(ex, args.real, args.batchsize)
+        ref_feats, _ = embed_clips(ex, real_clips, args.batchsize)
         rows: List[dict] = []
-        for side, run, d in manifest:
-            feats, probs = embed_dir_with(ex, d, args.batchsize)
+        for side, run, clips in clip_sets:
+            feats, probs = embed_clips(ex, clips, args.batchsize)
             scores = score_features(["is", "fid"], feats, probs, ref_feats)
             rows.append(
                 {"side": side, "run": run,

@@ -42,7 +42,7 @@ def main(argv=None):
     from dcvgan_tpu.train.step import DCVGAN
     from dcvgan_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache(REPO, tag="bench")
+    enable_compile_cache(REPO)
 
     cfg = load_config(args.config)
     cfg.trainer.precision = args.precision
@@ -80,6 +80,7 @@ def main(argv=None):
         rate, flops = bench._train_rate(
             gan, state, key, device_batch, steps, rtt
         )
+        n_chips = jax.device_count()
         row = {
             "config": args.config.stem,
             "batch": b,
@@ -87,8 +88,11 @@ def main(argv=None):
             "iters_per_sec": round(rate, 3),
             "videos_per_sec": round(rate * b, 1),
             "gflops_per_step": round(flops / 1e9, 1) if flops else None,
+            # per-chip MFU, same formula as bench.py's train sweep
             "mfu": (
-                round(flops * rate / peak, 4) if (flops and peak) else None
+                round(flops * rate / (peak * n_chips), 4)
+                if (flops and peak)
+                else None
             ),
             "device": kind,
         }
