@@ -46,6 +46,11 @@ REPO = Path(__file__).resolve().parent
 
 TRAIN_SWEEP = (20, 64, 128)  # flagship batch first, then utilization probes
 
+# B=256 is the saturation sweet spot: a full staged-bench A/B measured
+# B=512 at parity (5396 vs 5426 videos/s — inside run variance; an
+# isolated scan probe's +2% did not survive the rtt-corrected harness),
+# and B=1024 OOMs the per-frame U-Net's temps. 256 also keeps the
+# headline comparable across BENCH_r0*.json history.
 INFER_BATCH = 256
 INFER_SCAN_ITERS = 20
 DISPATCH_ITERS = 10
