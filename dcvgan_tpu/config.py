@@ -223,6 +223,15 @@ class TrainerConfig:
     # If false, shard_map gives per-replica stats. GAN BN semantics affect
     # parity, so this is an explicit switch (SURVEY.md §2.5).
     sync_batchnorm: bool = True
+    # Normalization family for all five models. "batch" = reference parity
+    # (BatchNorm placement per /root/reference/src/discriminator.py:91-102
+    # and the generators). "group" (perf opt-in, off the parity path) swaps
+    # every BatchNorm for per-sample ChannelGroupNorm: no cross-batch
+    # moment reductions (~33% of the fused step per PERFORMANCE.md), no
+    # running statistics, no train/eval duality. Not supported with
+    # mesh.time > 1 (the time-sharded critics implement masked *batch*
+    # statistics only).
+    norm: str = "batch"
     # Reference quirk (/root/reference/src/trainer.py:357-359): ggen's Adam
     # step runs twice per generator update. We reproduce the *intent*
     # (single step) by default; set true to mimic the double step.
@@ -346,6 +355,17 @@ class ExperimentConfig:
             raise ConfigError(
                 f"trainer.ema_decay must be in [0, 1), got "
                 f"{self.trainer.ema_decay}"
+            )
+        if self.trainer.norm not in ("batch", "group"):
+            raise ConfigError(
+                f"trainer.norm must be 'batch' or 'group', got "
+                f"{self.trainer.norm!r}"
+            )
+        if self.trainer.norm == "group" and self.mesh.time > 1:
+            raise ConfigError(
+                "trainer.norm='group' is not supported with mesh.time > 1 "
+                "(time-sharded critics implement masked batch statistics "
+                "only)"
             )
         for sub in (
             self.geometric_info,

@@ -26,10 +26,10 @@ from flax import linen as nn
 
 from dcvgan_tpu.models.layers import (
     Dtype,
-    batch_norm,
     conv2d_kernel_init,
     fold_time,
     leaky_relu,
+    norm_layer,
     same_pad_conv,
     unfold_time,
     up_conv,
@@ -44,6 +44,8 @@ class ColorVideoGenerator(nn.Module):
     video_length: int = 16
     image_size: int = 64
     dtype: Dtype = jnp.float32
+    # trainer.norm: "batch" (reference parity) or "group" (ChannelGroupNorm)
+    norm: str = "batch"
 
     out_ch: int = 3
 
@@ -89,7 +91,7 @@ class ColorVideoGenerator(nn.Module):
         hs = [h]
         for i, mult in enumerate(down_mults):
             h = same_pad_conv(self.ngf * mult, 4, 2, self.dtype, f"down{i}_conv")(h)
-            h = batch_norm(train, self.dtype, f"down{i}_bn")(h)
+            h = norm_layer(self.norm, train, self.dtype, f"down{i}_bn")(h)
             h = leaky_relu(h, 0.2)
             hs.append(h)
 
@@ -104,7 +106,7 @@ class ColorVideoGenerator(nn.Module):
             if i > 0:
                 h = jnp.concatenate([h, hs[n_blocks - i]], axis=-1)
             h = up_conv(self.ngf * mult, self.dtype, f"up{i}_conv")(h)
-            h = batch_norm(train, self.dtype, f"up{i}_bn")(h)
+            h = norm_layer(self.norm, train, self.dtype, f"up{i}_bn")(h)
             if i < 2:
                 # channel dropout between BN and activation
                 # (torch Dropout2d(0.5); /root/reference/src/generator.py:246-248)

@@ -33,8 +33,8 @@ from dcvgan_tpu.models.layers import (
     MaskedSyncBatchNorm,
     Noise,
     TimeStackConv3d,
-    batch_norm,
     leaky_relu,
+    norm_layer,
     same_pad_conv,
 )
 
@@ -100,6 +100,8 @@ class ImageDiscriminator(nn.Module):
     noise_sigma: float = 0.0
     ndf: int = 64
     dtype: Dtype = jnp.float32
+    # trainer.norm: "batch" (reference parity) or "group" (ChannelGroupNorm)
+    norm: str = "batch"
 
     @nn.compact
     def __call__(
@@ -126,12 +128,12 @@ class ImageDiscriminator(nn.Module):
 
         h = noise("noise_1")(h)
         h = same_pad_conv(self.ndf * 2, 4, 2, self.dtype, "conv_1")(h)
-        h = batch_norm(train, self.dtype, "bn_1")(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_1")(h)
         h = leaky_relu(h)
 
         h = noise("noise_2")(h)
         h = same_pad_conv(self.ndf * 4, 4, 2, self.dtype, "conv_2")(h)
-        h = batch_norm(train, self.dtype, "bn_2")(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_2")(h)
         h = leaky_relu(h)
 
         h = noise("noise_3")(h)
@@ -148,6 +150,7 @@ class VideoDiscriminator(nn.Module):
     noise_sigma: float = 0.0
     ndf: int = 64
     dtype: Dtype = jnp.float32
+    norm: str = "batch"
     # Set to the mesh "time" axis name to run time-sharded inside shard_map;
     # bn_sync_axes lists additional axes (e.g. "data") BN stats psum over so
     # statistics match the unsharded global-batch semantics.
@@ -174,12 +177,12 @@ class VideoDiscriminator(nn.Module):
 
         h = noise("noise_1")(h)
         h = conv3(self.ndf * 2, "conv_1")(h)
-        h = batch_norm(train, self.dtype, "bn_1", torch_default_init=True)(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_1", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_2")(h)
         h = conv3(self.ndf * 4, "conv_2")(h)
-        h = batch_norm(train, self.dtype, "bn_2", torch_default_init=True)(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_2", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_3")(h)
@@ -223,6 +226,7 @@ class GradientDiscriminator(nn.Module):
     noise_sigma: float = 0.0
     ndf: int = 64
     dtype: Dtype = jnp.float32
+    norm: str = "batch"
     time_axis: Optional[str] = None
     bn_sync_axes: Tuple[str, ...] = ()
 
@@ -248,17 +252,17 @@ class GradientDiscriminator(nn.Module):
 
         h = noise("noise_1")(h)
         h = conv3(self.ndf, "conv_1")(h)
-        h = batch_norm(train, self.dtype, "bn_1", torch_default_init=True)(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_1", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_2")(h)
         h = conv3(self.ndf * 2, "conv_2")(h)
-        h = batch_norm(train, self.dtype, "bn_2", torch_default_init=True)(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_2", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_3")(h)
         h = conv3(self.ndf * 4, "conv_3")(h)
-        h = batch_norm(train, self.dtype, "bn_3", torch_default_init=True)(h)
+        h = norm_layer(self.norm, train, self.dtype, "bn_3", torch_default_init=True)(h)
         h = leaky_relu(h)
 
         h = noise("noise_4")(h)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dcvgan_tpu.models.layers import (
+    ChannelGroupNorm,
     Dtype,
     bn2d_scale_init,
     conv2d_kernel_init,
@@ -48,6 +49,8 @@ class GeometricVideoGenerator(nn.Module):
     video_length: int = 16
     image_size: int = 64
     dtype: Dtype = jnp.float32
+    # trainer.norm: "batch" (reference parity) or "group" (ChannelGroupNorm)
+    norm: str = "batch"
 
     @property
     def dim_z(self) -> int:
@@ -92,15 +95,18 @@ class GeometricVideoGenerator(nn.Module):
             mult = min(8, 2 ** (n_up - 2 - i))
             ups.append(up_conv(self.ngf * mult, self.dtype))
         for _ in range(n_up):
-            bns.append(
-                nn.BatchNorm(
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    dtype=self.dtype,
-                    scale_init=bn2d_scale_init,
-                    bias_init=nn.initializers.zeros,
+            if self.norm == "group":
+                bns.append(ChannelGroupNorm(dtype=self.dtype))
+            else:
+                bns.append(
+                    nn.BatchNorm(
+                        momentum=0.9,
+                        epsilon=1e-5,
+                        dtype=self.dtype,
+                        scale_init=bn2d_scale_init,
+                        bias_init=nn.initializers.zeros,
+                    )
                 )
-            )
         # final stage to output channels at full resolution
         ups.append(up_conv(self.channel, self.dtype))
         self.ups = ups
@@ -142,7 +148,10 @@ class GeometricVideoGenerator(nn.Module):
         x = z.reshape((-1, 1, 1, z.shape[-1]))
         for i in range(self.n_up):
             x = self.ups[i](x)
-            x = self.bns[i](x, use_running_average=not train)
+            if self.norm == "group":
+                x = self.bns[i](x)  # no batch statistics, no train duality
+            else:
+                x = self.bns[i](x, use_running_average=not train)
             x = nn.relu(x)
         x = self.ups[self.n_up](x)
 

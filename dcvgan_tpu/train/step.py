@@ -85,6 +85,7 @@ class DCVGAN:
         self.dtype = dtype
         gi = config.geometric_info
 
+        norm = config.trainer.norm
         self.ggen = GeometricVideoGenerator(
             dim_z_content=config.ggen.dim_z_content,
             dim_z_motion=config.ggen.dim_z_motion,
@@ -94,6 +95,7 @@ class DCVGAN:
             video_length=config.video_length,
             image_size=config.image_size,
             dtype=dtype,
+            norm=norm,
         )
         self.cgen = ColorVideoGenerator(
             in_ch=gi.channel,
@@ -103,6 +105,7 @@ class DCVGAN:
             video_length=config.video_length,
             image_size=config.image_size,
             dtype=dtype,
+            norm=norm,
         )
         self.idis = ImageDiscriminator(
             ch_g=gi.channel,
@@ -111,6 +114,7 @@ class DCVGAN:
             noise_sigma=config.idis.noise_sigma,
             ndf=config.idis.ndf,
             dtype=dtype,
+            norm=norm,
         )
         self.vdis = VideoDiscriminator(
             ch_g=gi.channel,
@@ -119,6 +123,7 @@ class DCVGAN:
             noise_sigma=config.vdis.noise_sigma,
             ndf=config.vdis.ndf,
             dtype=dtype,
+            norm=norm,
         )
         self.gdis = GradientDiscriminator(
             ch_g=gi.channel,
@@ -127,6 +132,7 @@ class DCVGAN:
             noise_sigma=config.gdis.noise_sigma,
             ndf=config.gdis.ndf,
             dtype=dtype,
+            norm=norm,
         )
         self.modules = {
             "ggen": self.ggen,
@@ -258,7 +264,7 @@ class DCVGAN:
                     rngs={"noise": jax.random.fold_in(nkey, shard_id)},
                     mutable=["batch_stats"],
                 )
-                return out, mut["batch_stats"]
+                return out, mut.get("batch_stats", {})
 
             mapped = shard_map(
                 local,
@@ -289,7 +295,7 @@ class DCVGAN:
                     rngs={"noise": nkey},
                     mutable=["batch_stats"],
                 )
-                return out, mut["batch_stats"]
+                return out, mut.get("batch_stats", {})
 
             return apply
 
@@ -404,7 +410,7 @@ class DCVGAN:
                 xg_f, gg_mut = ggen_fwd(ggp)
                 xc_f, cg_mut = cgen_fwd(cgp, xg_f)
                 return (xg_f, xc_f), (
-                    gg_mut["batch_stats"], cg_mut["batch_stats"]
+                    gg_mut.get("batch_stats", {}), cg_mut.get("batch_stats", {})
                 )
 
             fakes_g, gen_vjp, shared_stats = jax.vjp(
@@ -549,7 +555,7 @@ class DCVGAN:
                 xc_f, cg_mut = cgen_fwd(cgp, xg_f)
                 loss_gen = critic_g_loss(xg_f, xc_f)
                 return loss_gen, (
-                    gg_mut["batch_stats"], cg_mut["batch_stats"]
+                    gg_mut.get("batch_stats", {}), cg_mut.get("batch_stats", {})
                 )
 
             g_grads, (loss_gen, (gg_stats, cg_stats)) = _grad_with_value(
