@@ -188,9 +188,15 @@ class VideoDataset:
             flow = native.scale_f32(flow, 1.0 / self.image_size)  # (T, H, W, 2)
             if self.raw_uint8:
                 # ship half precision: 2x less host->device transfer; the
-                # train step upcasts on device. Normalized flow magnitudes
-                # (|px displacement|/image_size, typically <0.2) lose ~1e-4
-                # absolute — far below the color path's own uint8 grid.
+                # train step upcasts on device. Normalized flow is raw
+                # displacement / image_size, so |v| approaches 1.0 for
+                # image-sized motion; the float16 rounding error there is
+                # <= ~5e-4 absolute (half ulp for |v| <= 2) — still ~8x
+                # finer than the color path's own uint8 quantization grid
+                # (1/255 in [-1,1]). Typical small motion (|v| < 0.25)
+                # rounds at <= 1.2e-4. Bound pinned across the full
+                # magnitude range by tests/test_dataset.py::
+                # test_flow_fp16_error_bound_at_full_magnitude.
                 return flow.astype(np.float16)
             return flow
         if gi == "segmentation":

@@ -53,6 +53,42 @@ def test_batch_optical_flow(mock_data_root):
         assert np.all(flow >= -1.0) and np.all(flow <= 1.0)
 
 
+def test_flow_fp16_error_bound_at_full_magnitude(tmp_path):
+    """The raw_uint8 ship mode sends optical flow as float16. Normalized
+    flow (displacement / image_size) can approach +-1.0 for image-sized
+    motion, where the fp16 grid is coarsest (~1e-3): pin the worst-case
+    absolute error at <= 5e-4 across the FULL magnitude range, not just
+    the small-motion regime the mock fixture exercises (ADVICE r4)."""
+    from dcvgan_tpu.io.image import write_img
+
+    size = 8
+    root = tmp_path / "flowmax" / "train"
+    vdir = root / "1"
+    (vdir / "color").mkdir(parents=True)
+    for j in range(17):
+        write_img(np.zeros((size, size, 3), np.uint8),
+                  vdir / "color" / f"{j:03d}.jpg")
+    rng = np.random.default_rng(42)
+    # raw displacements spanning the whole +-image_size envelope
+    flow_raw = rng.uniform(-size, size, (17, size, size, 2)).astype(np.float32)
+    np.save(vdir / "optical-flow.npy", flow_raw)
+    (root / "list.txt").write_text("1 17\n")
+
+    kwargs = dict(
+        name="flowmax", preprocess_func=None, video_length=16,
+        image_size=size, geometric_info="optical-flow",
+        processed_root=tmp_path, extension="jpg",
+    )
+    exact = VideoDataset(raw_uint8=False, **kwargs).sample(
+        0, np.random.default_rng(0))["optical-flow"]
+    half = VideoDataset(raw_uint8=True, **kwargs).sample(
+        0, np.random.default_rng(0))["optical-flow"]
+    assert half.dtype == np.float16
+    assert np.abs(exact).max() > 0.9  # the coarse end of the fp16 grid
+    err = np.abs(half.astype(np.float32) - exact)
+    assert err.max() <= 5e-4, err.max()
+
+
 def test_batch_segmentation(mock_data_root):
     ds = new_mock_dataset(mock_data_root, "segmentation")
     for i in range(len(ds)):

@@ -97,6 +97,78 @@ def build_embeddings(args) -> Dict[str, object]:
     return embeddings
 
 
+def summarize(rows: List[dict]) -> dict:
+    """Per-embedding no-regression summary (the claim under test in
+    HEADTOHEAD.md).
+
+    Reports two families of flags:
+
+    - best-of-k (``tpu_no_regression_best`` /
+      ``_median_per_seed``): kept for artifact continuity, but biased
+      toward the side with more late checkpoints (ADVICE r4: the
+      reference side only has one final eval per seed committed).
+    - like-for-like (``tpu_no_regression_final_best`` /
+      ``_final_median``): each seed contributes exactly its LAST
+      committed checkpoint ("@final", or the highest "@iter") on BOTH
+      sides — cite these.
+    """
+    summ: dict = {}
+    for side in ("reference", "tpu"):
+        fids = [r["fid"] for r in rows if r["side"] == side]
+        per_seed_best: Dict[str, float] = {}
+        per_seed_final: Dict[str, float] = {}
+        per_seed_last_order: Dict[str, float] = {}
+        for r in rows:
+            if r["side"] != side:
+                continue
+            seed, tag = r["run"].split("@")
+            per_seed_best[seed] = min(
+                per_seed_best.get(seed, float("inf")), r["fid"]
+            )
+            order = float("inf") if tag == "final" else int(tag)
+            if order >= per_seed_last_order.get(seed, float("-inf")):
+                per_seed_last_order[seed] = order
+                per_seed_final[seed] = r["fid"]
+        summ[side] = {
+            "best_fid": min(fids),
+            "median_fid": float(np.median(fids)),
+            "median_per_seed_best_fid": float(
+                np.median(list(per_seed_best.values()))
+            ),
+            "median_per_seed_final_fid": float(
+                np.median(list(per_seed_final.values()))
+            ),
+            "best_per_seed_final_fid": min(per_seed_final.values()),
+        }
+    summ["tpu_no_regression_best"] = bool(
+        summ["tpu"]["best_fid"] <= summ["reference"]["best_fid"]
+    )
+    summ["tpu_no_regression_median_per_seed"] = bool(
+        summ["tpu"]["median_per_seed_best_fid"]
+        <= summ["reference"]["median_per_seed_best_fid"]
+    )
+    summ["tpu_no_regression_final_median"] = bool(
+        summ["tpu"]["median_per_seed_final_fid"]
+        <= summ["reference"]["median_per_seed_final_fid"]
+    )
+    summ["tpu_no_regression_final_best"] = bool(
+        summ["tpu"]["best_per_seed_final_fid"]
+        <= summ["reference"]["best_per_seed_final_fid"]
+    )
+    return summ
+
+
+def resummarize(path: Path) -> dict:
+    """Recompute summaries from an existing scores JSON (the embedding
+    rows are deterministic; only the summary math changed in round 5)."""
+    data = json.loads(path.read_text())
+    data["summary"] = {
+        name: summarize(rows) for name, rows in data["embeddings"].items()
+    }
+    path.write_text(json.dumps(data, indent=1))
+    return data
+
+
 def score_all(args) -> dict:
     from dcvgan_tpu.eval.metrics import score_features
 
@@ -118,33 +190,7 @@ def score_all(args) -> dict:
             )
             print(f"[{name}] {side}/{run}: {scores}", flush=True)
         out["embeddings"][name] = rows
-        # the claim under test (HEADTOHEAD.md): no quality regression for
-        # the TPU rebuild in the late-trajectory band
-        summ = {}
-        for side in ("reference", "tpu"):
-            fids = [r["fid"] for r in rows if r["side"] == side]
-            per_seed_best: Dict[str, float] = {}
-            for r in rows:
-                if r["side"] == side:
-                    seed = r["run"].split("@")[0]
-                    per_seed_best[seed] = min(
-                        per_seed_best.get(seed, float("inf")), r["fid"]
-                    )
-            summ[side] = {
-                "best_fid": min(fids),
-                "median_fid": float(np.median(fids)),
-                "median_per_seed_best_fid": float(
-                    np.median(list(per_seed_best.values()))
-                ),
-            }
-        summ["tpu_no_regression_best"] = bool(
-            summ["tpu"]["best_fid"] <= summ["reference"]["best_fid"]
-        )
-        summ["tpu_no_regression_median_per_seed"] = bool(
-            summ["tpu"]["median_per_seed_best_fid"]
-            <= summ["reference"]["median_per_seed_best_fid"]
-        )
-        out["summary"][name] = summ
+        out["summary"][name] = summarize(rows)
         # incremental write: embeddings are independent legs
         args.out.parent.mkdir(parents=True, exist_ok=True)
         args.out.write_text(json.dumps(out, indent=1))
@@ -153,8 +199,9 @@ def score_all(args) -> dict:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--real", type=Path, required=True,
-                    help="real mp4 dir (data/processed/synthetic/train/color)")
+    ap.add_argument("--real", type=Path,
+                    help="real mp4 dir (data/processed/synthetic/train/color);"
+                         " required unless --resummarize")
     ap.add_argument("--weights", nargs="*", type=Path,
                     default=[REPO / "assets/extractor-synthetic.npz"])
     ap.add_argument("--seeds", nargs="*", type=int, default=[1, 2])
@@ -162,7 +209,18 @@ def main(argv=None):
     ap.add_argument("--batchsize", type=int, default=32)
     ap.add_argument("--out", type=Path,
                     default=REPO / "results/multiembed_scores.json")
+    ap.add_argument("--resummarize", nargs="*", type=Path, default=None,
+                    help="recompute summaries in existing scores JSONs "
+                         "(no re-embedding) and exit")
     args = ap.parse_args(argv)
+    if args.resummarize is not None:
+        for p in args.resummarize:
+            out = resummarize(p)
+            print(p)
+            print(json.dumps(out["summary"], indent=1))
+        return
+    if args.real is None:
+        ap.error("--real is required unless --resummarize")
     _configure_jax_cpu()
     out = score_all(args)
     print(json.dumps(out["summary"], indent=1))
