@@ -101,6 +101,7 @@ def train(
     s: int = 64,
     seed: int = 0,
     log_every: int = 50,
+    holdout: int = 64,
 ):
     """Train the classifier; returns (params, final train acc, holdout acc)."""
     import jax
@@ -149,9 +150,10 @@ def train(
                 flush=True,
             )
 
-    # held-out accuracy on a fresh generator stream
+    # held-out accuracy on a fresh generator stream (chunked: the
+    # holdout can be larger than a device-friendly batch)
     ho_rng = np.random.default_rng(seed + 10**6)
-    videos, labels = synth_labeled_batch(ho_rng, 64, t, s)
+    videos, labels = synth_labeled_batch(ho_rng, holdout, t, s)
 
     @jax.jit
     def predict(params, videos_u8):
@@ -160,8 +162,11 @@ def train(
         )
         return logits.argmax(-1)
 
-    pred = np.asarray(predict(params, jnp.asarray(videos)))
-    holdout_acc = float((pred == labels).mean())
+    preds = [
+        np.asarray(predict(params, jnp.asarray(videos[i : i + 64])))
+        for i in range(0, holdout, 64)
+    ]
+    holdout_acc = float((np.concatenate(preds) == labels).mean())
     return params, float(acc), holdout_acc
 
 
@@ -175,6 +180,8 @@ def main(argv=None):
     parser.add_argument("--image-size", type=int, default=64)
     parser.add_argument("--video-length", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--holdout", type=int, default=64,
+                        help="held-out clips for the accuracy estimate")
     args = parser.parse_args(argv)
 
     params, train_acc, holdout_acc = train(
@@ -185,6 +192,7 @@ def main(argv=None):
         t=args.video_length,
         s=args.image_size,
         seed=args.seed,
+        holdout=args.holdout,
     )
     print(f"holdout accuracy: {holdout_acc:.3f} (chance {1 / NUM_CLASSES:.3f})")
     save_npz(
@@ -197,6 +205,7 @@ def main(argv=None):
             "steps": args.steps,
             "seed": args.seed,
             "holdout_acc": holdout_acc,
+            "holdout_n": args.holdout,
         },
     )
     print(f"wrote {args.out}")
