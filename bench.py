@@ -256,10 +256,13 @@ def load_previous_bench(repo: Path):
     """Newest driver-recorded BENCH_r*.json whose own headline passes the
     plausibility gates (r04's 5.12e12 must not become the comparison
     baseline). Returns (filename, parsed_results) or (None, None)."""
+
+    def round_num(p: Path) -> int:
+        m = re.search(r"(\d+)", p.stem)
+        return int(m.group(1)) if m else -1  # digit-less names sort last
+
     candidates = sorted(
-        repo.glob("BENCH_r*.json"),
-        key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)),
-        reverse=True,
+        repo.glob("BENCH_r*.json"), key=round_num, reverse=True
     )
     for path in candidates:
         try:
@@ -289,7 +292,8 @@ def compare_previous(results: dict, repo: Path = REPO) -> None:
         entry["headline_ratio"] = round(ratio, 3)
         if not (0.5 <= ratio <= 2.0):
             results.setdefault("regression_flags", []).append(
-                f"headline {cur:.1f} vs {name} {prev['value']:.1f} "
+                f"headline {float(cur):.1f} vs {name} "
+                f"{float(prev['value']):.1f} "
                 f"(ratio {ratio:.2f} outside [0.5, 2])"
             )
     pm = prev.get("train_mfu")
@@ -331,7 +335,10 @@ def _emit_and_exit(code: int) -> None:
 def _alarm(signum, frame):  # pragma: no cover - timing-dependent
     RESULTS["partial"] = "budget_exhausted"
     _note(f"SIGALRM at +{time.monotonic() - _T0:.0f}s: emitting partial")
-    validate_results(RESULTS)
+    try:
+        validate_results(RESULTS)
+    except Exception:  # noqa: BLE001 - the JSON line must still go out
+        RESULTS.setdefault("errors", {})["epilogue"] = "validate failed"
     _emit_and_exit(final_rc(RESULTS))
 
 
@@ -699,6 +706,38 @@ def main() -> None:
             )
 
 
+# --------------------------------------------------------------------------
+# legacy probe-tool API (tools/probe_*.py, tools/conv_microbench.py)
+# --------------------------------------------------------------------------
+
+def _scalar_rtt(n: int = RTT_PROBES) -> float:
+    """Min of ``n`` scalar round-trip probes (pre-round-5 name; the probe
+    tools consume a single rtt float for their own timing math)."""
+    return min_rtt(_make_rtt_probe(), n)
+
+
+def _scan_steps(b: int) -> int:
+    """Pre-round-5 name for the initial scan length heuristic."""
+    return _initial_steps(b)
+
+
+def _train_rate(gan, state, key, device_batch, steps, rtt):
+    """Pre-round-5 signature: (iters_per_sec, flops_per_step).
+
+    ``steps``/``rtt`` are accepted for compatibility but superseded by the
+    hardened core, which re-probes the RTT adjacent to each timed rep and
+    grows the scan length until the work dominates it. Raises RuntimeError
+    instead of ever returning a clamped/fictional rate (the r04 failure)."""
+    del steps, rtt
+    b = int(next(iter(device_batch.values())).shape[0])
+    meas, flops = _train_measurement(
+        gan, state, key, device_batch, b, _make_rtt_probe()
+    )
+    if meas.get("invalid"):
+        raise RuntimeError(f"no valid measurement: {meas['invalid']}")
+    return meas["units_per_sec"], flops
+
+
 if __name__ == "__main__":
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(int(BUDGET_S))
@@ -709,8 +748,18 @@ if __name__ == "__main__":
 
         traceback.print_exc()
         RESULTS["partial"] = "main_exception"
-    bad = validate_results(RESULTS)
-    if bad:
-        _note(f"plausibility violations: {bad}")
-    compare_previous(RESULTS)
+    # the epilogue must never cost us the JSON line: a crash in
+    # validation/comparison marks the run errored (rc=1) but still emits
+    try:
+        bad = validate_results(RESULTS)
+        if bad:
+            _note(f"plausibility violations: {bad}")
+        compare_previous(RESULTS)
+    except Exception:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        RESULTS.setdefault("errors", {})["epilogue"] = (
+            "validate/compare failed; see stderr"
+        )
     _emit_and_exit(final_rc(RESULTS))

@@ -112,6 +112,18 @@ def summarize(rows: List[dict]) -> dict:
       committed checkpoint ("@final", or the highest "@iter") on BOTH
       sides — cite these.
     """
+    def parse_run(run: str):
+        """(seed, checkpoint order). Tolerant of label variants: no "@"
+        or "@final" = the run's final eval; a non-numeric tag sorts
+        before every numbered checkpoint (never selected as final unless
+        it is all a seed has)."""
+        seed, _, tag = run.partition("@")
+        if tag in ("", "final"):
+            return seed, float("inf")
+        if tag.isdigit():
+            return seed, int(tag)
+        return seed, float("-inf")
+
     summ: dict = {}
     for side in ("reference", "tpu"):
         fids = [r["fid"] for r in rows if r["side"] == side]
@@ -121,11 +133,10 @@ def summarize(rows: List[dict]) -> dict:
         for r in rows:
             if r["side"] != side:
                 continue
-            seed, tag = r["run"].split("@")
+            seed, order = parse_run(r["run"])
             per_seed_best[seed] = min(
                 per_seed_best.get(seed, float("inf")), r["fid"]
             )
-            order = float("inf") if tag == "final" else int(tag)
             if order >= per_seed_last_order.get(seed, float("-inf")):
                 per_seed_last_order[seed] = order
                 per_seed_final[seed] = r["fid"]
@@ -214,6 +225,8 @@ def main(argv=None):
                          "(no re-embedding) and exit")
     args = ap.parse_args(argv)
     if args.resummarize is not None:
+        if not args.resummarize:
+            ap.error("--resummarize needs at least one scores-JSON path")
         for p in args.resummarize:
             out = resummarize(p)
             print(p)
